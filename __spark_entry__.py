@@ -1,10 +1,8 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship interleaved-docs validation end-to-end on
+sf0.001; ``queries``/``oracle_sql`` expose the engine's operators for the
+DuckDB cross-check (see ``valideer_spark/queries.py``).
 """
 
 from __future__ import annotations
@@ -15,24 +13,25 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: validate the synthetic interleaved docs table with
+    the compiled flagship schema and return the violation rows
+    (doc_id, part_id, violation_index, path, constraint, message)."""
+    from valideer_spark.engine import ValidationEngine
+    from valideer_spark.flagship import doc_schema
+    from valideer_spark.sources import synth_docs
+
+    docs = synth_docs(spark, 2000)
+    report = ValidationEngine(doc_schema()).check(docs)
+    return report.violation_rows()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from valideer_spark.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from valideer_spark.queries import ORACLES
+
+    return dict(ORACLES)

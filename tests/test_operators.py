@@ -1,0 +1,91 @@
+"""Table-constraint operators: stats, uniqueness (plain + salted),
+referential anti-joins, drift sketches."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from valideer_spark.operators import (
+    column_profile,
+    duplicate_keys,
+    orphan_keys,
+    orphan_rows,
+    quantile_drift,
+    tdigest_quantiles,
+)
+from valideer_spark.operators.drift import (
+    tdigest_build,
+    tdigest_merge,
+    tdigest_quantile,
+)
+
+
+def test_column_profile(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, "a"), (3, "b"), (4, None)], ["x", "y"]
+    )
+    prof = {r["column"]: r.asDict() for r in column_profile(df).collect()}
+    assert prof["x"]["n_null"] == 0
+    assert prof["x"]["min_value"] == "1"
+    assert prof["x"]["max_value"] == "4"
+    assert prof["y"]["n_null"] == 2
+    assert abs(prof["y"]["null_rate"] - 0.5) < 1e-12
+    assert prof["x"]["approx_distinct"] == 4
+
+
+def test_duplicate_keys_plain_and_salted(spark):
+    rows = [("k%d" % (i % 10),) for i in range(100)] + [("unique",)]
+    df = spark.createDataFrame(rows, ["k"])
+    plain = {r["k"]: r["dup_count"] for r in duplicate_keys(df, "k").collect()}
+    salted = {r["k"]: r["dup_count"] for r in duplicate_keys(df, "k", salt=4).collect()}
+    assert plain == salted
+    assert plain == {"k%d" % i: 10 for i in range(10)}
+
+
+def test_orphans(spark):
+    fact = spark.createDataFrame([(1, "a"), (2, "b"), (9, "c"), (None, "d")],
+                                 "fk int, v string")
+    ref = spark.createDataFrame([(1,), (2,), (3,)], "pk int")
+    rows = orphan_rows(fact, "fk", ref, "pk").collect()
+    assert [(r["fk"], r["v"]) for r in rows] == [(9, "c")]
+    keys = orphan_keys(fact, "fk", ref, "pk").collect()
+    assert [(r["fk"], r["n_rows"]) for r in keys] == [(9, 1)]
+
+
+def test_tdigest_kernel_accuracy():
+    import numpy as np
+
+    rng = np.random.RandomState(42)
+    values = rng.normal(100.0, 15.0, 50000)
+    m, w = tdigest_build(values)
+    assert w.sum() == pytest.approx(50000)
+    for q in (0.01, 0.25, 0.5, 0.75, 0.99):
+        est = tdigest_quantile(m, w, q)
+        exact = float(np.quantile(values, q))
+        assert abs(est - exact) < 1.0, q
+
+    # mergeability: split-merge equals whole-build within tolerance
+    parts = [tdigest_build(values[i::4]) for i in range(4)]
+    mm, mw = tdigest_merge(parts)
+    assert mw.sum() == pytest.approx(50000)
+    for q in (0.1, 0.5, 0.9):
+        assert abs(
+            tdigest_quantile(mm, mw, q) - float(np.quantile(values, q))
+        ) < 1.5
+
+
+def test_tdigest_quantiles_distributed(spark):
+    df = spark.range(20000).select(
+        (F.col("id") % 1000).cast("double").alias("v")
+    )
+    qs = tdigest_quantiles(df, "v", probs=[0.5], groups=8)
+    assert abs(qs[0] - 499.5) < 15
+
+
+def test_quantile_drift(spark):
+    a = spark.range(10000).select((F.col("id") % 100).cast("double").alias("v"))
+    b = spark.range(10000).select((F.col("id") % 100 + 50).cast("double").alias("v"))
+    rows = quantile_drift(a, b, "v", probs=[0.5]).collect()
+    assert len(rows) == 1
+    assert rows[0]["abs_diff"] == pytest.approx(50.0, abs=2.0)

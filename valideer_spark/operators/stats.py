@@ -1,0 +1,57 @@
+"""Per-column statistics constraints (null rate, min/max, distinct).
+
+One single-pass hash aggregation (Spark computes partial aggregates
+map-side automatically); no shuffle beyond the final single-group reduce.
+At 100 TB this is scan-bound: column pruning ensures only profiled columns
+are read from parquet/Iceberg.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def column_profile(
+    df: DataFrame,
+    columns: Optional[Sequence[str]] = None,
+    approx_distinct: bool = True,
+    rsd: float = 0.05,
+) -> DataFrame:
+    """Long-format per-column profile: one output row per column with
+    count / null count / null rate / min / max (stringified) and
+    (optionally) approximate distinct count via HyperLogLog++.
+
+    Single aggregation over the frame; the per-column stats are stacked
+    driver-side from one result row (no extra jobs).
+    """
+    columns = list(columns or df.columns)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in columns:
+        col = F.col(c)
+        aggs.append(F.sum(col.isNull().cast("long")).alias(f"{c}__nulls"))
+        aggs.append(F.min(col).cast("string").alias(f"{c}__min"))
+        aggs.append(F.max(col).cast("string").alias(f"{c}__max"))
+        if approx_distinct:
+            aggs.append(F.approx_count_distinct(col, rsd).alias(f"{c}__dv"))
+    wide = df.agg(*aggs)
+
+    stacks = []
+    for c in columns:
+        fields = [
+            F.lit(c).alias("column"),
+            F.col("__n").alias("n_rows"),
+            F.col(f"{c}__nulls").alias("n_null"),
+            (F.col(f"{c}__nulls") / F.col("__n")).alias("null_rate"),
+            F.col(f"{c}__min").alias("min_value"),
+            F.col(f"{c}__max").alias("max_value"),
+        ]
+        if approx_distinct:
+            fields.append(F.col(f"{c}__dv").alias("approx_distinct"))
+        stacks.append(F.struct(*fields))
+    return (
+        wide.select(F.explode(F.array(*stacks)).alias("s"))
+        .select("s.*")
+    )

@@ -1,0 +1,97 @@
+"""Frame-level check plans: apply a compiled validator to a whole DataFrame.
+
+The DataFrame row is treated as the document (a struct of all columns), so a
+top-level ``Object`` schema validates column-per-property — the Spark
+equivalent of the reference's ``validate(value)`` over a JSON object
+(``/root/reference/valideer/base.py:229-240``), vectorized over the table.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..core.registry import Validator, parse
+from .lowering import Lowered, lower
+
+
+def _row_struct(df: DataFrame) -> Column:
+    return F.struct(*[F.col(f.name) for f in df.schema.fields])
+
+
+@dataclass
+class FramePlan:
+    """A validator lowered against a DataFrame schema.
+
+    All expression builders are pure-Column; nothing is executed until the
+    returned DataFrames are acted on, so Catalyst sees one declarative plan
+    (predicate pushdown + whole-stage codegen apply).
+    """
+
+    validator: Validator
+    lowered: Lowered
+
+    def is_valid_col(self, df: DataFrame) -> Column:
+        """Boolean verdict column (the ``adapt=False`` fast path)."""
+        return self.lowered.predicate(_row_struct(df))
+
+    def violations_col(self, df: DataFrame) -> Column:
+        """array<struct<path,constraint,message>> — all violations per row,
+        kernel traversal order (element 0 == kernel fail-fast error)."""
+        return self.lowered.violations(_row_struct(df), F.lit(""))
+
+    def adapted_col(self, df: DataFrame) -> Column:
+        """Adapted document struct (defined where the row is valid)."""
+        return self.lowered.adapt(_row_struct(df))
+
+    def check(self, df: DataFrame, adapt: bool = True) -> DataFrame:
+        """Annotate ``df`` with `_valid`, `_violations` (+ `_adapted`)."""
+        row = _row_struct(df)
+        out = df.withColumn("_valid", self.lowered.predicate(row)).withColumn(
+            "_violations",
+            F.when(
+                self.lowered.predicate(row), F.array().cast(self.violations_schema())
+            ).otherwise(self.lowered.violations(row, F.lit(""))),
+        )
+        if adapt:
+            out = out.withColumn(
+                "_adapted",
+                F.when(self.lowered.predicate(row), self.lowered.adapt(row)),
+            )
+        return out
+
+    def violations_schema(self):
+        from .lowering import VIOLATION_TYPE
+
+        return VIOLATION_TYPE
+
+    def violation_rows(
+        self, df: DataFrame, id_cols: Optional[list[str]] = None
+    ) -> DataFrame:
+        """Exploded violation rows: one row per (document, violation)."""
+        id_cols = id_cols or [df.columns[0]]
+        annotated = self.check(df, adapt=False)
+        bad = annotated.filter(~F.col("_valid"))
+        exploded = bad.select(
+            *id_cols, F.posexplode("_violations").alias("violation_index", "v")
+        )
+        return exploded.select(
+            *id_cols,
+            "violation_index",
+            F.col("v.path").alias("path"),
+            F.col("v.constraint").alias("constraint"),
+            F.col("v.message").alias("message"),
+        )
+
+
+def compile_plan(schema: Any, df_or_schema) -> FramePlan:
+    """Compile a schema (mini-language or Validator) against a DataFrame or
+    StructType."""
+    validator = parse(schema)
+    struct = (
+        df_or_schema.schema if isinstance(df_or_schema, DataFrame) else df_or_schema
+    )
+    return FramePlan(validator=validator, lowered=lower(validator, struct))

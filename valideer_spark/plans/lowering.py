@@ -1,0 +1,1190 @@
+"""Type-directed lowering: validator tree × Spark DataType → columnar plan.
+
+Each kernel validator node (``valideer_spark.core``) lowers against the
+static Spark type of the column it will check, producing a :class:`Lowered`
+bundle of pure ``Column`` expression builders:
+
+* ``predicate(col)``   — null-safe boolean, true iff the value is valid;
+* ``adapt(col)``       — the adapted value (defined where predicate holds);
+* ``violations(col, path)`` — ``array<struct<path,constraint,message>>`` of
+  ALL violations in kernel traversal order, so element 0 equals the
+  kernel's fail-fast error (full violation report at scale, first-error
+  parity per row);
+* ``msg(col)``         — bare message of the first failure (used by AnyOf
+  to join alternatives with ``" or "``).
+
+Everything stays inside Catalyst/whole-stage codegen. Validators with no
+native lowering (arbitrary ``Condition`` predicates, ``AdaptBy`` with a
+Python callable) fall back to an Arrow-vectorized pandas UDF that runs the
+kernel itself — the documented escape hatch, never used by the built-in
+schema constructs.
+
+Reference-semantics notes (citations into /root/reference/valideer/):
+
+* ``Pattern`` start-anchor only (validators.py:447) → ``^(?:…)`` rewrite.
+* ``AnyOf`` first-match adaptation (validators.py:29-36) → ordered
+  ``F.when`` cascade.
+* ``AllOf`` validates the ORIGINAL value, returns the LAST adaptation
+  (validators.py:53-57).
+* ``Object`` missing-required precedes property checks
+  (validators.py:663-666); struct semantics: a NULL struct field models an
+  absent property.
+* ``Mapping`` validates value before key; value errors get key context
+  (validators.py:589-603).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from dataclasses import dataclass, field
+from typing import Any, Callable, List, Optional, Tuple
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..core import checks as K
+from ..core.errors import ValidationError
+from ..core.registry import Validator
+from .pyrepr import (
+    py_list_repr_of_strings,
+    py_repr,
+    python_type_name,
+    type_name_col,
+)
+
+VIOLATION_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("constraint", T.StringType()),
+            T.StructField("message", T.StringType()),
+        ]
+    )
+)
+
+
+class LoweringError(Exception):
+    """A validator cannot be lowered against the given Spark type."""
+
+
+@dataclass
+class Lowered:
+    out_type: T.DataType
+    predicate: Callable[[Column], Column]
+    adapt: Callable[[Column], Column]
+    violations: Callable[[Column, Column], Column]
+    msg: Callable[[Column], Column]
+    #: value-independent bare message, when one exists (leaf "must be X")
+    static_msg: Optional[str] = None
+
+
+def _empty_violations() -> Column:
+    return F.lit(None).cast(VIOLATION_TYPE)  # replaced by array() below
+
+
+def _no_violations() -> Column:
+    return F.array().cast(VIOLATION_TYPE)
+
+
+def _violation(path: Column, constraint: str, message: Column) -> Column:
+    return F.array(
+        F.struct(
+            path.alias("path"),
+            F.lit(constraint).alias("constraint"),
+            message.alias("message"),
+        )
+    )
+
+
+def _nullsafe(pred: Column) -> Column:
+    return F.coalesce(pred, F.lit(False))
+
+
+def _invalid_value_msg(col: Column, dtype: T.DataType, bare: Column) -> Column:
+    """Kernel parity: ``Invalid value <repr> (<type>): <msg>``."""
+    return F.format_string(
+        "Invalid value %s (%s): %s", py_repr(col, dtype), type_name_col(col, dtype), bare
+    )
+
+
+def extend_path(path: Column, context_bare: Column, context_repr: Column) -> Column:
+    """Kernel context rendering: first element bare, rest ``[repr]``."""
+    return F.when(path == "", context_bare).otherwise(
+        F.concat(path, F.lit("["), context_repr, F.lit("]"))
+    )
+
+
+def _extend_path_prop(path: Column, name: str) -> Column:
+    return extend_path(path, F.lit(name), F.lit(repr(name)))
+
+
+def _extend_path_index(path: Column, idx: Column) -> Column:
+    s = idx.cast("string")
+    return extend_path(path, s, s)
+
+
+@dataclass
+class _Check:
+    """One ordered leaf check: fail condition + bare message column."""
+
+    constraint: str
+    fails: Callable[[Column], Column]
+    bare_msg: Callable[[Column], Column]
+
+
+def _leaf(
+    dtype: T.DataType,
+    checks: List[_Check],
+    adapt: Optional[Callable[[Column], Column]] = None,
+    out_type: Optional[T.DataType] = None,
+    static_msg: Optional[str] = None,
+) -> Lowered:
+    """Assemble a Lowered from an ordered list of checks (kernel fail-fast
+    order); the violation/message is the FIRST failing check's."""
+
+    def predicate(col: Column) -> Column:
+        pred = F.lit(True)
+        for c in checks:
+            pred = pred & ~_nullsafe(c.fails(col))
+        return _nullsafe(pred)
+
+    def msg(col: Column) -> Column:
+        expr = None
+        for c in checks:
+            clause = _nullsafe(c.fails(col))
+            expr = (
+                F.when(clause, c.bare_msg(col))
+                if expr is None
+                else expr.when(clause, c.bare_msg(col))
+            )
+        return expr.otherwise(F.lit(None)) if expr is not None else F.lit(None)
+
+    def violations(col: Column, path: Column) -> Column:
+        expr = None
+        for c in checks:
+            clause = _nullsafe(c.fails(col))
+            vio = _violation(
+                path, c.constraint, _invalid_value_msg(col, dtype, c.bare_msg(col))
+            )
+            expr = F.when(clause, vio) if expr is None else expr.when(clause, vio)
+        return expr.otherwise(_no_violations()) if expr is not None else _no_violations()
+
+    return Lowered(
+        out_type=out_type or dtype,
+        predicate=predicate,
+        adapt=adapt or (lambda col: col),
+        violations=violations,
+        msg=msg,
+        static_msg=static_msg,
+    )
+
+
+# ---------------------------------------------------------------------------
+# static type conformance
+# ---------------------------------------------------------------------------
+
+_PY_EQUIV: List[Tuple[type, type]] = []
+
+
+def _python_class_for(dtype: T.DataType) -> type:
+    import datetime
+    import decimal
+
+    if isinstance(dtype, T.StringType):
+        return str
+    if isinstance(dtype, T.BooleanType):
+        return bool
+    if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return int
+    if isinstance(dtype, (T.FloatType, T.DoubleType)):
+        return float
+    if isinstance(dtype, T.DecimalType):
+        return decimal.Decimal
+    if isinstance(dtype, T.DateType):
+        return datetime.date
+    if isinstance(dtype, T.TimestampType):
+        return datetime.datetime
+    if isinstance(dtype, T.ArrayType):
+        return list
+    if isinstance(dtype, (T.MapType, T.StructType)):
+        return dict
+    if isinstance(dtype, T.BinaryType):
+        return bytes
+    return object
+
+
+def _type_statically_ok(v: K.Type, dtype: T.DataType) -> bool:
+    cls = _python_class_for(dtype)
+    accept = v.accept_types
+    reject = v.reject_types
+    if not isinstance(accept, tuple):
+        accept = (accept,) if accept else ()
+    if not isinstance(reject, tuple):
+        reject = (reject,) if reject else ()
+    ok = any(issubclass(cls, a) for a in accept) if accept else False
+    bad = any(issubclass(cls, r) for r in reject) if reject else False
+    return ok and not bad
+
+
+def _type_checks(v: Validator, dtype: T.DataType, statically_ok: bool) -> List[_Check]:
+    """Null check + static type conformance, kernel message parity
+    ("must be <humanized_name>")."""
+    bare = "must be %s" % v.humanized_name
+
+    def fails(col: Column) -> Column:
+        if not statically_ok:
+            return F.lit(True)
+        return col.isNull()
+
+    return [_Check("type:" + v.humanized_name, fails, lambda col: F.lit(bare))]
+
+
+# ---------------------------------------------------------------------------
+# regex dialect translation (Python re → Java)
+# ---------------------------------------------------------------------------
+
+_JAVA_INCOMPATIBLE = re.compile(r"\(\?P[<=]|\(\?#")
+
+
+def translate_python_regex(pattern: str) -> Optional[str]:
+    """Translate a Python ``re`` pattern for Java ``rlike``, anchored at the
+    start only (``re.match`` semantics). Returns None if not translatable."""
+    if _JAVA_INCOMPATIBLE.search(pattern):
+        return None
+    # Python \Z (absolute end) == Java \z
+    translated = re.sub(r"(?<!\\)\\Z", r"\\z", pattern)
+    return "^(?:" + translated + ")"
+
+
+# ---------------------------------------------------------------------------
+# kernel fallback (Arrow-vectorized escape hatch, cold path only)
+# ---------------------------------------------------------------------------
+
+def _is_scalar_type(dtype: T.DataType) -> bool:
+    return not isinstance(dtype, (T.ArrayType, T.MapType, T.StructType))
+
+
+def kernel_fallback(
+    validator: Validator, dtype: T.DataType, out_type: Optional[T.DataType] = None
+) -> Lowered:
+    """Run the kernel validator inside Arrow-batched pandas UDFs.
+
+    Scalar columns are passed through directly; nested columns round-trip
+    through JSON (``to_json`` omits null struct fields, which matches the
+    engine's null-field == absent-property convention).
+    """
+    import pandas as pd
+
+    out_type = out_type or dtype
+    scalar = _is_scalar_type(dtype)
+
+    def to_py(x: Any) -> Any:
+        if x is None or (isinstance(x, float) and x != x):
+            return None
+        if hasattr(x, "item"):  # numpy scalar
+            return x.item()
+        return x
+
+    @F.pandas_udf(T.BooleanType())
+    def ok_udf(s: pd.Series) -> pd.Series:
+        return s.map(lambda x: validator.is_valid(to_py(x)))
+
+    @F.pandas_udf(T.BooleanType())
+    def ok_json_udf(s: pd.Series) -> pd.Series:
+        return s.map(lambda x: x is not None and validator.is_valid(json.loads(x)))
+
+    @F.pandas_udf(T.StringType())
+    def msg_udf(s: pd.Series) -> pd.Series:
+        def one(x):
+            try:
+                validator.validate(to_py(x) if scalar else json.loads(x), adapt=False)
+                return None
+            except ValidationError as ex:
+                return ex.msg
+            except Exception:
+                return "invalid"
+
+        return s.map(one)
+
+    # (suffix, full "Invalid value ..." body) of the first kernel error
+    vio_fields = T.StructType(
+        [
+            T.StructField("suffix", T.StringType()),
+            T.StructField("message", T.StringType()),
+        ]
+    )
+
+    @F.pandas_udf(vio_fields)
+    def vio_udf(s: pd.Series) -> pd.DataFrame:
+        suffixes, messages = [], []
+        for x in s:
+            try:
+                validator.validate(to_py(x) if scalar else json.loads(x), adapt=False)
+                suffixes.append(None)
+                messages.append(None)
+            except ValidationError as ex:
+                suffixes.append(
+                    "".join("[%r]" % c for c in reversed(ex.context))
+                )
+                base = ex.context
+                ex.context = []
+                messages.append(ex.to_string())
+                ex.context = base
+        return pd.DataFrame({"suffix": suffixes, "message": messages})
+
+    def adapt_scalar_udf():
+        @F.pandas_udf(out_type)
+        def adapt_udf(s: pd.Series) -> pd.Series:
+            def one(x):
+                try:
+                    return validator.validate(to_py(x), adapt=True)
+                except ValidationError:
+                    return None
+
+            return s.map(one)
+
+        return adapt_udf
+
+    if scalar:
+        predicate = lambda col: _nullsafe(ok_udf(col))
+        msg = lambda col: msg_udf(col)
+        _adapt = adapt_scalar_udf()
+        adapt = lambda col: _adapt(col)
+
+        def violations(col: Column, path: Column) -> Column:
+            v = vio_udf(col)
+            return F.when(
+                v.getField("message").isNull(), _no_violations()
+            ).otherwise(
+                _violation(
+                    F.concat(path, F.coalesce(v.getField("suffix"), F.lit(""))),
+                    "kernel:" + validator.__class__.__name__,
+                    v.getField("message"),
+                )
+            )
+
+    else:
+        predicate = lambda col: _nullsafe(ok_json_udf(F.to_json(col)))
+        msg = lambda col: msg_udf(F.to_json(col))
+
+        @F.pandas_udf(T.StringType())
+        def adapt_json_udf(s: pd.Series) -> pd.Series:
+            def one(x):
+                if x is None:
+                    return None
+                try:
+                    return json.dumps(validator.validate(json.loads(x), adapt=True))
+                except ValidationError:
+                    return None
+
+            return s.map(one)
+
+        adapt = lambda col: F.from_json(adapt_json_udf(F.to_json(col)), out_type)
+
+        def violations(col: Column, path: Column) -> Column:
+            v = vio_udf(F.to_json(col))
+            return F.when(
+                v.getField("message").isNull(), _no_violations()
+            ).otherwise(
+                _violation(
+                    F.concat(path, F.coalesce(v.getField("suffix"), F.lit(""))),
+                    "kernel:" + validator.__class__.__name__,
+                    v.getField("message"),
+                )
+            )
+
+    return Lowered(
+        out_type=out_type,
+        predicate=predicate,
+        adapt=adapt,
+        violations=violations,
+        msg=msg,
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-validator lowerings
+# ---------------------------------------------------------------------------
+
+def _lower_type(v: K.Type, dtype: T.DataType) -> Lowered:
+    ok = _type_statically_ok(v, dtype)
+    bare = "must be %s" % v.humanized_name
+    return _leaf(dtype, _type_checks(v, dtype, ok), static_msg=bare)
+
+
+def _lower_string(v: K.String, dtype: T.DataType) -> Lowered:
+    ok = isinstance(dtype, T.StringType)
+    checks = _type_checks(v, dtype, ok)
+    if v._min_length is not None:
+        n = v._min_length
+        checks.append(
+            _Check(
+                "string.min_length",
+                lambda col, n=n: F.length(col) < n,
+                lambda col, n=n: F.lit("must be at least %d characters long" % n),
+            )
+        )
+    if v._max_length is not None:
+        n = v._max_length
+        checks.append(
+            _Check(
+                "string.max_length",
+                lambda col, n=n: F.length(col) > n,
+                lambda col, n=n: F.lit("must be at most %d characters long" % n),
+            )
+        )
+    return _leaf(dtype, checks, static_msg="must be %s" % v.humanized_name if ok else None)
+
+
+def _lower_pattern(v: K.Pattern, dtype: T.DataType) -> Lowered:
+    ok = isinstance(dtype, T.StringType)
+    java_pattern = translate_python_regex(v.regexp.pattern)
+    if java_pattern is None:
+        return kernel_fallback(v, dtype)
+    bare = "must match %s" % v.humanized_name
+    checks = _type_checks(K.String(), dtype, ok)
+    checks.append(
+        _Check(
+            "pattern",
+            lambda col: ~col.rlike(java_pattern),
+            lambda col: F.lit(bare),
+        )
+    )
+    return _leaf(dtype, checks, static_msg=bare)
+
+
+def _enum_literal_ok(value: Any) -> bool:
+    return isinstance(value, (str, int, float, bool)) or value is None
+
+
+def _lower_enum(v: K.Enum, dtype: T.DataType) -> Lowered:
+    values = list(v.values)
+    if not all(_enum_literal_ok(x) for x in values):
+        return kernel_fallback(v, dtype)
+    bare = "must be %s" % v.humanized_name
+    non_null = [x for x in values if x is not None]
+    allow_null = any(x is None for x in values)
+
+    # Python `in` uses == across numeric types and bool==int; Spark isin on a
+    # typed column only sees same-type literals, which matches for
+    # homogeneous enum/column types (the table case). bool columns vs
+    # {1,2,3} etc. are handled by Python equality at kernel-parity level.
+    def fails(col: Column) -> Column:
+        member = col.isin(non_null) if non_null else F.lit(False)
+        if allow_null:
+            return ~(col.isNull() | _nullsafe(member))
+        return ~_nullsafe(member)
+
+    return _leaf(
+        dtype,
+        [_Check("enum", fails, lambda col: F.lit(bare))],
+        static_msg=bare,
+    )
+
+
+def _lower_range(v: K.Range, dtype: T.DataType) -> Lowered:
+    inner = lower(v._validator, dtype) if v._validator is not None else None
+    out_type = inner.out_type if inner else dtype
+    adapted = (lambda col: inner.adapt(col)) if inner else (lambda col: col)
+
+    checks: List[_Check] = []
+    if v._min_value is not None:
+        mn = v._min_value
+        checks.append(
+            _Check(
+                "range.min",
+                lambda col, mn=mn: adapted(col) < F.lit(mn),
+                lambda col, mn=mn: F.lit("must not be less than %d" % mn),
+            )
+        )
+    if v._max_value is not None:
+        mx = v._max_value
+        checks.append(
+            _Check(
+                "range.max",
+                lambda col, mx=mx: adapted(col) > F.lit(mx),
+                lambda col, mx=mx: F.lit("must not be larger than %d" % mx),
+            )
+        )
+
+    bounds = _leaf(out_type, checks, out_type=out_type)
+
+    def predicate(col: Column) -> Column:
+        p = bounds.predicate(adapted(col))
+        if inner:
+            p = inner.predicate(col) & p
+        return _nullsafe(p)
+
+    def violations(col: Column, path: Column) -> Column:
+        own = bounds.violations(adapted(col), path)
+        if inner:
+            iv = inner.violations(col, path)
+            return F.when(F.size(iv) > 0, iv).otherwise(own)
+        return own
+
+    def msg(col: Column) -> Column:
+        own = bounds.msg(adapted(col))
+        if inner:
+            return F.coalesce(inner.msg(col), own)
+        return own
+
+    return Lowered(
+        out_type=out_type,
+        predicate=predicate,
+        adapt=adapted,
+        violations=violations,
+        msg=msg,
+    )
+
+
+def _lower_nullable(v: K.Nullable, dtype: T.DataType) -> Lowered:
+    inner = lower(v._validator, dtype)
+    default = v.default  # evaluated once per compiled plan (batch semantics)
+
+    def predicate(col: Column) -> Column:
+        return col.isNull() | inner.predicate(col)
+
+    def adapt(col: Column) -> Column:
+        return F.when(
+            col.isNull(), F.lit(default).cast(inner.out_type)
+        ).otherwise(inner.adapt(col))
+
+    def violations(col: Column, path: Column) -> Column:
+        return F.when(col.isNull(), _no_violations()).otherwise(
+            inner.violations(col, path)
+        )
+
+    def msg(col: Column) -> Column:
+        return F.when(col.isNull(), F.lit(None)).otherwise(inner.msg(col))
+
+    return Lowered(
+        out_type=inner.out_type,
+        predicate=predicate,
+        adapt=adapt,
+        violations=violations,
+        msg=msg,
+    )
+
+
+def _lower_nonnullable(v: K.NonNullable, dtype: T.DataType) -> Lowered:
+    inner = lower(v._validator, dtype) if v._validator is not None else None
+    bare = "must be %s" % v.humanized_name
+
+    def predicate(col: Column) -> Column:
+        p = col.isNotNull()
+        if inner:
+            p = p & inner.predicate(col)
+        return _nullsafe(p)
+
+    def violations(col: Column, path: Column) -> Column:
+        null_vio = _violation(
+            path, "non_null", _invalid_value_msg(col, dtype, F.lit(bare))
+        )
+        rest = inner.violations(col, path) if inner else _no_violations()
+        return F.when(col.isNull(), null_vio).otherwise(rest)
+
+    def msg(col: Column) -> Column:
+        rest = inner.msg(col) if inner else F.lit(None)
+        return F.when(col.isNull(), F.lit(bare)).otherwise(rest)
+
+    return Lowered(
+        out_type=inner.out_type if inner else dtype,
+        predicate=predicate,
+        adapt=(lambda col: inner.adapt(col)) if inner else (lambda col: col),
+        violations=violations,
+        msg=msg,
+        static_msg=bare if inner is None else None,
+    )
+
+
+def _lower_anyof(v: K.AnyOf, dtype: T.DataType) -> Lowered:
+    children = [lower(c, dtype) for c in v._components]
+    out_types = {c.out_type.simpleString() for c in children}
+    if len(out_types) != 1:
+        return kernel_fallback(v, dtype)
+    out_type = children[0].out_type
+
+    def predicate(col: Column) -> Column:
+        p = F.lit(False)
+        for c in children:
+            p = p | c.predicate(col)
+        return _nullsafe(p)
+
+    def adapt(col: Column) -> Column:
+        expr = None
+        for c in children:
+            expr = (
+                F.when(c.predicate(col), c.adapt(col))
+                if expr is None
+                else expr.when(c.predicate(col), c.adapt(col))
+            )
+        return expr
+
+    def msg(col: Column) -> Column:
+        # all children failed → join their messages with " or "
+        return F.concat_ws(" or ", *[c.msg(col) for c in children])
+
+    def violations(col: Column, path: Column) -> Column:
+        return F.when(predicate(col), _no_violations()).otherwise(
+            _violation(path, "any_of", _invalid_value_msg(col, dtype, msg(col)))
+        )
+
+    return Lowered(out_type, predicate, adapt, violations, msg)
+
+
+def _lower_allof(v: K.AllOf, dtype: T.DataType) -> Lowered:
+    children = [lower(c, dtype) for c in v._components]
+    out_type = children[-1].out_type if children else dtype
+
+    def predicate(col: Column) -> Column:
+        p = F.lit(True)
+        for c in children:
+            p = p & c.predicate(col)
+        return _nullsafe(p)
+
+    def adapt(col: Column) -> Column:
+        return children[-1].adapt(col) if children else col
+
+    def violations(col: Column, path: Column) -> Column:
+        arrays = [c.violations(col, path) for c in children]
+        return F.concat(*arrays) if arrays else _no_violations()
+
+    def msg(col: Column) -> Column:
+        return F.coalesce(*[c.msg(col) for c in children]) if children else F.lit(None)
+
+    return Lowered(out_type, predicate, adapt, violations, msg)
+
+
+def _lower_chainof(v: K.ChainOf, dtype: T.DataType) -> Lowered:
+    stages: List[Tuple[Lowered, Callable[[Column], Column]]] = []
+    cur_type = dtype
+    threaded: Callable[[Column], Column] = lambda col: col
+    for comp in v._components:
+        node = lower(comp, cur_type)
+        prev = threaded
+        stages.append((node, prev))
+        threaded = (lambda node=node, prev=prev: lambda col: node.adapt(prev(col)))()
+        cur_type = node.out_type
+
+    def predicate(col: Column) -> Column:
+        p = F.lit(True)
+        for node, prev in stages:
+            p = p & node.predicate(prev(col))
+        return _nullsafe(p)
+
+    def adapt(col: Column) -> Column:
+        return threaded(col)
+
+    def violations(col: Column, path: Column) -> Column:
+        arrays = [node.violations(prev(col), path) for node, prev in stages]
+        return F.concat(*arrays) if arrays else _no_violations()
+
+    def msg(col: Column) -> Column:
+        return (
+            F.coalesce(*[node.msg(prev(col)) for node, prev in stages])
+            if stages
+            else F.lit(None)
+        )
+
+    return Lowered(cur_type, predicate, adapt, violations, msg)
+
+
+def _lower_condition(v: K.Condition, dtype: T.DataType) -> Lowered:
+    builder = getattr(v, "column_predicate", None)
+    if builder is None:
+        return kernel_fallback(v, dtype)
+    bare = "must satisfy predicate %s" % v.humanized_name
+    return _leaf(
+        dtype,
+        [
+            _Check(
+                "condition:" + v.humanized_name,
+                lambda col: ~_nullsafe(builder(col)),
+                lambda col: F.lit(bare),
+            )
+        ],
+        static_msg=bare,
+    )
+
+
+_INT_LITERAL = "^[+-]?[0-9]+$"
+
+
+def _lower_adapt_to(v: K.AdaptTo, dtype: T.DataType) -> Lowered:
+    target = v._adaptor
+    if target is int:
+        if isinstance(dtype, T.StringType):
+            # Python int("1.2") raises; exact CPython error message.
+            checks = [
+                _Check(
+                    "adapt_to:int",
+                    lambda col: ~col.rlike(_INT_LITERAL),
+                    lambda col: F.format_string(
+                        "invalid literal for int() with base 10: %s",
+                        py_repr(col, dtype),
+                    ),
+                )
+            ]
+            return _leaf(
+                dtype, checks, adapt=lambda col: col.cast(T.LongType()),
+                out_type=T.LongType(),
+            )
+        if isinstance(dtype, (T.FloatType, T.DoubleType)):
+            checks = [
+                _Check(
+                    "adapt_to:int",
+                    lambda col: F.isnan(col) | (F.abs(col) == float("inf")),
+                    lambda col: F.lit("cannot convert float NaN to integer"),
+                )
+            ]
+            # cast double→long truncates toward zero, matching int(float)
+            return _leaf(
+                dtype, checks, adapt=lambda col: col.cast(T.LongType()),
+                out_type=T.LongType(),
+            )
+        if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                              T.BooleanType)):
+            return _leaf(dtype, [], adapt=lambda col: col.cast(T.LongType()),
+                         out_type=T.LongType())
+    if target is float:
+        if isinstance(dtype, T.StringType):
+            checks = [
+                _Check(
+                    "adapt_to:float",
+                    lambda col: F.try_cast(col, "double").isNull(),
+                    lambda col: F.format_string(
+                        "could not convert string to float: %s",
+                        py_repr(col, dtype),
+                    ),
+                )
+            ]
+            return _leaf(
+                dtype, checks, adapt=lambda col: col.cast(T.DoubleType()),
+                out_type=T.DoubleType(),
+            )
+        if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                              T.FloatType, T.DoubleType, T.BooleanType)):
+            return _leaf(dtype, [], adapt=lambda col: col.cast(T.DoubleType()),
+                         out_type=T.DoubleType())
+    if target is str:
+        return _leaf(dtype, [], adapt=lambda col: col.cast(T.StringType()),
+                     out_type=T.StringType())
+    return kernel_fallback(v, dtype)
+
+
+def _lower_homogeneous_sequence(v: K.HomogeneousSequence, dtype: T.DataType) -> Lowered:
+    if not isinstance(dtype, T.ArrayType):
+        # non-array column can never be a sequence → constant type violation
+        return _lower_type(v, dtype)
+    item = lower(v._item_validator, dtype.elementType) if v._item_validator else None
+
+    checks = _type_checks(v, dtype, True)
+    if v._min_length is not None:
+        n = v._min_length
+        checks.append(
+            _Check(
+                "sequence.min_length",
+                lambda col, n=n: F.size(col) < n,
+                lambda col, n=n: F.lit("must contain at least %d elements" % n),
+            )
+        )
+    if v._max_length is not None:
+        n = v._max_length
+        checks.append(
+            _Check(
+                "sequence.max_length",
+                lambda col, n=n: F.size(col) > n,
+                lambda col, n=n: F.lit("must contain at most %d elements" % n),
+            )
+        )
+    own = _leaf(dtype, checks)
+
+    if item is None:
+        return own
+
+    out_type = T.ArrayType(item.out_type, dtype.containsNull)
+
+    def predicate(col: Column) -> Column:
+        return own.predicate(col) & _nullsafe(
+            F.forall(col, lambda x: item.predicate(x))
+        )
+
+    def adapt(col: Column) -> Column:
+        return F.transform(col, lambda x: item.adapt(x))
+
+    def violations(col: Column, path: Column) -> Column:
+        own_v = own.violations(col, path)
+        items_v = F.flatten(
+            F.transform(
+                col, lambda x, i: item.violations(x, _extend_path_index(path, i))
+            )
+        )
+        return F.when(F.size(own_v) > 0, own_v).otherwise(items_v)
+
+    def msg(col: Column) -> Column:
+        first_bad = F.filter(col, lambda x: ~item.predicate(x))
+        return F.coalesce(
+            own.msg(col),
+            F.when(F.size(first_bad) > 0, item.msg(F.element_at(first_bad, 1))),
+        )
+
+    return Lowered(out_type, predicate, adapt, violations, msg)
+
+
+def _lower_heterogeneous_sequence(
+    v: K.HeterogeneousSequence, dtype: T.DataType
+) -> Lowered:
+    if not isinstance(dtype, T.ArrayType):
+        return _lower_type(v, dtype)
+    items = [lower(s, dtype.elementType) for s in v._item_validators]
+    n = len(items)
+    out_types = {i.out_type.simpleString() for i in items}
+    out_elem = items[0].out_type if len(out_types) == 1 and items else dtype.elementType
+
+    checks = _type_checks(v, dtype, True)
+    checks.append(
+        _Check(
+            "arity",
+            lambda col: F.size(col) != n,
+            lambda col: F.format_string(
+                "%d items expected, %%d found" % n, F.size(col)
+            ),
+        )
+    )
+    own = _leaf(dtype, checks)
+
+    def predicate(col: Column) -> Column:
+        p = own.predicate(col)
+        for i, node in enumerate(items):
+            p = p & node.predicate(F.element_at(col, i + 1))
+        return _nullsafe(p)
+
+    def adapt(col: Column) -> Column:
+        return F.array(
+            *[node.adapt(F.element_at(col, i + 1)) for i, node in enumerate(items)]
+        )
+
+    def violations(col: Column, path: Column) -> Column:
+        own_v = own.violations(col, path)
+        parts = [
+            node.violations(
+                F.element_at(col, i + 1), _extend_path_index(path, F.lit(i))
+            )
+            for i, node in enumerate(items)
+        ]
+        rest = F.concat(*parts) if parts else _no_violations()
+        return F.when(F.size(own_v) > 0, own_v).otherwise(rest)
+
+    def msg(col: Column) -> Column:
+        parts = [node.msg(F.element_at(col, i + 1)) for i, node in enumerate(items)]
+        return F.coalesce(own.msg(col), *parts) if parts else own.msg(col)
+
+    return Lowered(T.ArrayType(out_elem), predicate, adapt, violations, msg)
+
+
+def _lower_mapping(v: K.Mapping, dtype: T.DataType) -> Lowered:
+    if not isinstance(dtype, T.MapType):
+        return _lower_type(v, dtype)
+    kv = lower(v._key_validator, dtype.keyType) if v._key_validator else None
+    vv = lower(v._value_validator, dtype.valueType) if v._value_validator else None
+    own = _leaf(dtype, _type_checks(v, dtype, True))
+
+    def predicate(col: Column) -> Column:
+        p = own.predicate(col)
+        if vv:
+            p = p & _nullsafe(F.forall(F.map_values(col), lambda x: vv.predicate(x)))
+        if kv:
+            p = p & _nullsafe(F.forall(F.map_keys(col), lambda x: kv.predicate(x)))
+        return _nullsafe(p)
+
+    def adapt(col: Column) -> Column:
+        out = col
+        if vv:
+            out = F.transform_values(out, lambda k, x: vv.adapt(x))
+        if kv:
+            out = F.transform_keys(out, lambda k, x: kv.adapt(k))
+        return out
+
+    def violations(col: Column, path: Column) -> Column:
+        own_v = own.violations(col, path)
+        parts = []
+        if vv:
+            # value errors get the key as context (kernel validators.py:595-600)
+            parts.append(
+                F.flatten(
+                    F.transform(
+                        F.map_entries(col),
+                        lambda e: vv.violations(
+                            e.getField("value"),
+                            extend_path(
+                                path,
+                                py_repr(e.getField("key"), dtype.keyType),
+                                py_repr(e.getField("key"), dtype.keyType),
+                            ),
+                        ),
+                    )
+                )
+            )
+        if kv:
+            # key errors get no context
+            parts.append(
+                F.flatten(
+                    F.transform(
+                        F.map_keys(col), lambda k: kv.violations(k, path)
+                    )
+                )
+            )
+        rest = F.concat(*parts) if parts else _no_violations()
+        return F.when(F.size(own_v) > 0, own_v).otherwise(rest)
+
+    def msg(col: Column) -> Column:
+        parts = []
+        if vv:
+            bad = F.filter(F.map_values(col), lambda x: ~vv.predicate(x))
+            parts.append(F.when(F.size(bad) > 0, vv.msg(F.element_at(bad, 1))))
+        if kv:
+            bad = F.filter(F.map_keys(col), lambda x: ~kv.predicate(x))
+            parts.append(F.when(F.size(bad) > 0, kv.msg(F.element_at(bad, 1))))
+        return F.coalesce(own.msg(col), *parts) if parts else own.msg(col)
+
+    kt = kv.out_type if kv else dtype.keyType
+    vt = vv.out_type if vv else dtype.valueType
+    return Lowered(T.MapType(kt, vt), predicate, adapt, violations, msg)
+
+
+def _lower_object(v: K.Object, dtype: T.DataType) -> Lowered:
+    """Object over a StructType column; NULL field ≡ absent property."""
+    if not isinstance(dtype, T.StructType):
+        return _lower_type(v, dtype)
+
+    field_types = {f.name: f.dataType for f in dtype.fields}
+    own = _leaf(dtype, _type_checks(v, dtype, True))
+
+    # compile-time resolution of declared properties present in the struct
+    declared: List[Tuple[str, Validator, Optional[Lowered]]] = []
+    for name, validator in v._property_validators:
+        node = lower(validator, field_types[name]) if name in field_types else None
+        declared.append((name, validator, node))
+
+    required = [name for name in v._required_keys]
+    missing_required_always = [n for n in required if n not in field_types]
+
+    extras = [f.name for f in dtype.fields if f.name not in v._all_keys]
+    additional = v._additional
+    extra_node = (
+        {name: lower(additional, field_types[name]) for name in extras}
+        if isinstance(additional, Validator)
+        else {}
+    )
+
+    def _missing_arr(col: Column) -> Column:
+        entries = []
+        for name in required:
+            present = (
+                col.getField(name).isNotNull()
+                if name in field_types
+                else F.lit(False)
+            )
+            entries.append(F.when(~present, F.lit(name)))
+        if not entries:
+            return F.array().cast(T.ArrayType(T.StringType()))
+        return F.filter(F.array(*entries), lambda x: x.isNotNull())
+
+    def predicate(col: Column) -> Column:
+        p = own.predicate(col)
+        if required:
+            p = p & (F.size(_missing_arr(col)) == 0)
+        for name, validator, node in declared:
+            if node is None:
+                continue
+            fld = col.getField(name)
+            prop_ok = F.when(fld.isNull(), F.lit(True)).otherwise(
+                node.predicate(fld)
+            )
+            if v._ignore_optional_errors and name not in v._required_keys:
+                prop_ok = F.lit(True)  # bad optional props are dropped, not fatal
+            p = p & _nullsafe(prop_ok)
+        if additional is False:
+            for name in extras:
+                p = p & col.getField(name).isNull()
+        elif isinstance(additional, Validator):
+            for name in extras:
+                fld = col.getField(name)
+                p = p & _nullsafe(
+                    F.when(fld.isNull(), F.lit(True)).otherwise(
+                        extra_node[name].predicate(fld)
+                    )
+                )
+        return _nullsafe(p)
+
+    def adapt(col: Column) -> Column:
+        out_fields = []
+        for f in dtype.fields:
+            name = f.name
+            fld = col.getField(name)
+            decl = next((d for d in declared if d[0] == name), None)
+            if decl is not None:
+                _, validator, node = decl
+                expr = node.adapt(fld) if node else fld
+                if isinstance(validator, K.Nullable):
+                    default = validator.default_object_property
+                    if default is not K.Nullable._UNDEFINED:
+                        expr = F.when(fld.isNull(), F.lit(default)).otherwise(expr)
+                    else:
+                        expr = F.when(fld.isNull(), F.lit(None)).otherwise(expr)
+                else:
+                    expr = F.when(fld.isNull(), F.lit(None)).otherwise(expr)
+                if (
+                    v._ignore_optional_errors
+                    and node is not None
+                    and name not in v._required_keys
+                ):
+                    expr = F.when(
+                        fld.isNotNull() & ~node.predicate(fld), F.lit(None)
+                    ).otherwise(expr)
+                out_fields.append(expr.alias(name))
+            elif additional is K.Object.REMOVE:
+                out_fields.append(F.lit(None).cast(f.dataType).alias(name))
+            elif name in extra_node:
+                out_fields.append(extra_node[name].adapt(fld).alias(name))
+            else:
+                out_fields.append(fld.alias(name))
+        return F.struct(*out_fields)
+
+    def violations(col: Column, path: Column) -> Column:
+        own_v = own.violations(col, path)
+        missing = _missing_arr(col)
+        missing_v = _violation(
+            path,
+            "object.required",
+            _invalid_value_msg(
+                col,
+                dtype,
+                F.format_string(
+                    "missing required properties: %s",
+                    py_list_repr_of_strings(missing),
+                ),
+            ),
+        )
+        parts = []
+        for name, validator, node in declared:
+            if node is None:
+                continue
+            if v._ignore_optional_errors and name not in v._required_keys:
+                continue
+            fld = col.getField(name)
+            parts.append(
+                F.when(fld.isNull(), _no_violations()).otherwise(
+                    node.violations(fld, _extend_path_prop(path, name))
+                )
+            )
+        if additional is False and extras:
+            present_extras = F.filter(
+                F.array(
+                    *[
+                        F.when(col.getField(n).isNotNull(), F.lit(n))
+                        for n in extras
+                    ]
+                ),
+                lambda x: x.isNotNull(),
+            )
+            parts.append(
+                F.when(
+                    F.size(present_extras) > 0,
+                    _violation(
+                        path,
+                        "object.additional",
+                        _invalid_value_msg(
+                            col,
+                            dtype,
+                            F.format_string(
+                                "additional properties: %s",
+                                py_list_repr_of_strings(present_extras),
+                            ),
+                        ),
+                    ),
+                ).otherwise(_no_violations())
+            )
+        elif extra_node:
+            for name in extras:
+                fld = col.getField(name)
+                parts.append(
+                    F.when(fld.isNull(), _no_violations()).otherwise(
+                        extra_node[name].violations(
+                            fld, _extend_path_prop(path, name)
+                        )
+                    )
+                )
+        children = F.concat(*parts) if parts else _no_violations()
+        result = F.when(F.size(own_v) > 0, own_v)
+        if required:
+            result = result.when(F.size(missing) > 0, missing_v)
+        return result.otherwise(children)
+
+    def msg(col: Column) -> Column:
+        cands = [own.msg(col)]
+        if required:
+            cands.append(
+                F.when(
+                    F.size(_missing_arr(col)) > 0,
+                    F.format_string(
+                        "missing required properties: %s",
+                        py_list_repr_of_strings(_missing_arr(col)),
+                    ),
+                )
+            )
+        for name, validator, node in declared:
+            if node is None:
+                continue
+            fld = col.getField(name)
+            cands.append(F.when(fld.isNotNull(), node.msg(fld)))
+        return F.coalesce(*cands)
+
+    # output struct type after adaptation
+    out_fields = []
+    for f in dtype.fields:
+        decl = next((d for d in declared if d[0] == f.name), None)
+        if decl is not None and decl[2] is not None:
+            out_fields.append(T.StructField(f.name, decl[2].out_type, True))
+        else:
+            out_fields.append(T.StructField(f.name, f.dataType, True))
+    out_type = T.StructType(out_fields)
+
+    return Lowered(out_type, predicate, adapt, violations, msg)
+
+
+# ---------------------------------------------------------------------------
+# dispatch
+# ---------------------------------------------------------------------------
+
+_LOWERINGS: List[Tuple[type, Callable[[Any, T.DataType], Lowered]]] = [
+    (K.Pattern, _lower_pattern),          # before String
+    (K.String, _lower_string),
+    (K.Range, _lower_range),
+    (K.Enum, _lower_enum),
+    (K.Nullable, _lower_nullable),
+    (K.NonNullable, _lower_nonnullable),
+    (K.AnyOf, _lower_anyof),
+    (K.AllOf, _lower_allof),
+    (K.ChainOf, _lower_chainof),
+    (K.Condition, _lower_condition),
+    (K.AdaptTo, _lower_adapt_to),
+    (K.HomogeneousSequence, _lower_homogeneous_sequence),
+    (K.HeterogeneousSequence, _lower_heterogeneous_sequence),
+    (K.Mapping, _lower_mapping),
+    (K.Object, _lower_object),
+    (K.Type, _lower_type),                # catch-all for Type subclasses
+]
+
+
+def lower(validator: Validator, dtype: T.DataType) -> Lowered:
+    """Lower a kernel validator against a Spark column type."""
+    custom = getattr(validator, "lower_spark", None)
+    if custom is not None:
+        return custom(dtype)
+    for cls, fn in _LOWERINGS:
+        if isinstance(validator, cls):
+            return fn(validator, dtype)
+    return kernel_fallback(validator, dtype)
