@@ -1,0 +1,155 @@
+"""Headline benchmark: prints ONE JSON line.
+
+Runs the engine's headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] (default 32).
+
+The target metric (BASELINE.json) is validated docs/sec over the
+interleaved docs table — reported in the `docs_per_sec` extras — while the
+required `value` field is total suite wall seconds.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# ~2M docs per unit scale factor → 200k docs at sf0.1 (~900k spans)
+SF = float(os.environ.get("SPARK_GRAFT_SF", SF_DIR.rstrip("/").split("sf")[-1] or "0.1"))
+N_DOCS = int(os.environ.get("SPARK_GRAFT_N_DOCS", str(max(20_000, int(2_000_000 * SF)))))
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .config("spark.sql.shuffle.partitions", str(max(CPUS, 32)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .appName("valideer-spark-bench")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from valideer_spark.engine import ValidationEngine
+    from valideer_spark.flagship import doc_schema
+    from valideer_spark.operators import (
+        column_profile,
+        duplicate_keys,
+        orphan_keys,
+        quantile_drift,
+    )
+    from valideer_spark.sources import synth_docs, synth_media_catalog
+    from valideer_spark.sources.tables import load_table
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    docs = synth_docs(spark, N_DOCS)
+    # materialize the input once so validation timing excludes synthesis
+    docs.persist()
+    n_rows = timed("docs_materialize", lambda: docs.count())
+
+    engine = ValidationEngine(doc_schema())
+
+    # warm-up: compile the plan, trigger codegen + JIT on a small slice
+    warm = synth_docs(spark, 2000)
+    engine.check(warm).verdicts().collect()
+    ValidationEngine(doc_schema()).check(warm).violation_rows().count()
+
+    report = engine.check(docs)
+    verdict_totals = timed(
+        "flagship_verdicts",
+        lambda: report.verdicts()
+        .agg(F.sum("n_docs"), F.sum("n_valid"))
+        .collect()[0],
+    )
+    n_viol = timed("flagship_violations", lambda: report.violation_rows().count())
+    check_secs = timings["flagship_verdicts"] + timings["flagship_violations"]
+    extras["docs_per_sec"] = round(n_rows / check_secs, 1)
+    extras["n_docs"] = n_rows
+    extras["n_valid"] = int(verdict_totals[1])
+    extras["n_violations"] = int(n_viol)
+
+    # predicate-only fast path (adapt=False analog: is_valid counts)
+    def run_fastpath():
+        plan = engine.plan_for(docs)
+        return docs.select(
+            F.sum(plan.is_valid_col(docs).cast("long"))
+        ).collect()[0][0]
+
+    timed("flagship_fastpath", run_fastpath)
+    extras["fastpath_docs_per_sec"] = round(n_rows / timings["flagship_fastpath"], 1)
+
+    timed(
+        "uniqueness_salted",
+        lambda: duplicate_keys(docs, "doc_id", salt=16).count(),
+    )
+
+    catalog = synth_media_catalog(spark, N_DOCS)
+    refs = docs.select(F.explode("spans").alias("s")).select(
+        F.col("s.media_ref").alias("media_ref")
+    )
+    timed(
+        "referential_media",
+        lambda: orphan_keys(refs, "media_ref", catalog, "media_ref").count(),
+    )
+
+    li = load_table(spark, "lineitem", SF_DIR)
+    timed(
+        "stats_lineitem",
+        lambda: column_profile(
+            li,
+            ["l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_partkey"],
+        ).count(),
+    )
+
+    part = load_table(spark, "part", SF_DIR)
+    timed(
+        "referential_lineitem_part",
+        lambda: orphan_keys(
+            li, "l_partkey", part.filter(F.col("p_partkey") % 7 != 0), "p_partkey"
+        ).count(),
+    )
+
+    a = li.filter(F.col("l_orderkey") % 2 == 0)
+    b = li.filter(F.col("l_orderkey") % 2 == 1)
+    timed(
+        "drift_percentiles",
+        lambda: quantile_drift(a, b, "l_extendedprice").count(),
+    )
+
+    docs.unpersist()
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "validation+constraint suite wall time (docs/sec in extras)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF,
+                "extras": extras,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -43,9 +43,20 @@ def deterministic_partition_id(doc_id_col, buckets: int = DEFAULT_BUCKETS):
 
 @dataclass
 class CheckReport:
-    annotated: DataFrame  # input + _part_id, _valid, _violations
+    annotated: DataFrame  # input + _part_id, _valid
     plan: FramePlan
     id_col: str
+    buckets: int = DEFAULT_BUCKETS
+
+    def _bad_with_violations(self) -> DataFrame:
+        """Two-pass scale path: the heavy violation-construction expressions
+        run only on the failing slice (the cheap predicate filters first)."""
+        bad = self.annotated.filter(~F.col("_valid")).drop("_valid")
+        return self.plan.check(
+            bad.drop("_part_id"), adapt=False, violations=True
+        ).withColumn(
+            "_part_id", deterministic_partition_id(F.col(self.id_col), self.buckets)
+        )
 
     def verdicts(self) -> DataFrame:
         """Per-partition pass/fail + counts (one row per partition bucket)."""
@@ -54,14 +65,13 @@ class CheckReport:
             .agg(
                 F.count(F.lit(1)).alias("n_docs"),
                 F.sum(F.col("_valid").cast("long")).alias("n_valid"),
-                F.sum(F.size("_violations")).alias("n_violations"),
             )
             .withColumn("pass", F.col("n_valid") == F.col("n_docs"))
         )
 
     def violation_rows(self) -> DataFrame:
         """(doc_id, violation_index, path, constraint, message) rows."""
-        bad = self.annotated.filter(~F.col("_valid"))
+        bad = self._bad_with_violations()
         return bad.select(
             F.col(self.id_col),
             F.col("_part_id").alias("part_id"),
@@ -78,20 +88,17 @@ class CheckReport:
     def metrics(self) -> DataFrame:
         """Violation counts by constraint (map-side combinable agg)."""
         return (
-            self.annotated.select(F.explode("_violations").alias("v"))
+            self._bad_with_violations()
+            .select(F.explode("_violations").alias("v"))
             .groupBy(F.col("v.constraint").alias("constraint"))
             .count()
         )
 
     def adapted(self) -> DataFrame:
         """Adapted documents (valid rows only), schema = adapted row struct."""
-        row = self.plan.adapted_col(self.annotated.drop("_part_id", "_valid", "_violations"))
-        return (
-            self.annotated.filter(F.col("_valid"))
-            .drop("_part_id", "_valid", "_violations")
-            .select(row.alias("doc"))
-            .select("doc.*")
-        )
+        base = self.annotated.filter(F.col("_valid")).drop("_part_id", "_valid")
+        row = self.plan.adapted_col(base)
+        return base.select(row.alias("doc")).select("doc.*")
 
 
 class ValidationEngine:
@@ -119,10 +126,12 @@ class ValidationEngine:
 
     def check(self, df: DataFrame, adapt: bool = False) -> CheckReport:
         plan = self.plan_for(df)
-        annotated = plan.check(df, adapt=adapt).withColumn(
+        annotated = plan.check(df, adapt=adapt, violations=False).withColumn(
             "_part_id", deterministic_partition_id(F.col(self.id_col), self.buckets)
         )
-        return CheckReport(annotated=annotated, plan=plan, id_col=self.id_col)
+        return CheckReport(
+            annotated=annotated, plan=plan, id_col=self.id_col, buckets=self.buckets
+        )
 
     # ------------------------------------------------------------------
     # checkpoint / resume (parquet fallback for the Iceberg checkpoint
@@ -155,7 +164,9 @@ class ValidationEngine:
             annotated = annotated.join(
                 F.broadcast(done), annotated["_part_id"] == done["part_id"], "left_anti"
             )
-        pending = CheckReport(annotated=annotated, plan=report.plan, id_col=self.id_col)
+        pending = CheckReport(
+            annotated=annotated, plan=report.plan, id_col=self.id_col, buckets=self.buckets
+        )
         verdicts = pending.verdicts().withColumn("run_id", F.lit(run_id)).withColumn(
             "completed_at", F.lit(int(time.time())).cast("long")
         ).withColumnRenamed("_part_id", "part_id")

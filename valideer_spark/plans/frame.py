@@ -47,19 +47,30 @@ class FramePlan:
         """Adapted document struct (defined where the row is valid)."""
         return self.lowered.adapt(_row_struct(df))
 
-    def check(self, df: DataFrame, adapt: bool = True) -> DataFrame:
-        """Annotate ``df`` with `_valid`, `_violations` (+ `_adapted`)."""
+    def check(
+        self, df: DataFrame, adapt: bool = True, violations: bool = True
+    ) -> DataFrame:
+        """Annotate ``df`` with `_valid`, `_violations` (+ `_adapted`).
+
+        The violation-building expression tree is far heavier than the
+        predicate (value reprs, message formatting), so it is guarded
+        behind the predicate; for the scale path prefer ``violations=False``
+        here and :meth:`violation_rows`, which rebuilds violations only on
+        the (rare) failing rows after the cheap predicate filter.
+        """
         row = _row_struct(df)
-        out = df.withColumn("_valid", self.lowered.predicate(row)).withColumn(
-            "_violations",
-            F.when(
-                self.lowered.predicate(row), F.array().cast(self.violations_schema())
-            ).otherwise(self.lowered.violations(row, F.lit(""))),
-        )
+        out = df.withColumn("_valid", self.lowered.predicate(row))
+        if violations:
+            out = out.withColumn(
+                "_violations",
+                F.when(
+                    F.col("_valid"), F.array().cast(self.violations_schema())
+                ).otherwise(self.lowered.violations(row, F.lit(""))),
+            )
         if adapt:
             out = out.withColumn(
                 "_adapted",
-                F.when(self.lowered.predicate(row), self.lowered.adapt(row)),
+                F.when(F.col("_valid"), self.lowered.adapt(row)),
             )
         return out
 
@@ -73,8 +84,11 @@ class FramePlan:
     ) -> DataFrame:
         """Exploded violation rows: one row per (document, violation)."""
         id_cols = id_cols or [df.columns[0]]
-        annotated = self.check(df, adapt=False)
-        bad = annotated.filter(~F.col("_valid"))
+        # two-pass: cheap predicate over everything, heavy violation
+        # construction only on the failing slice
+        annotated = self.check(df, adapt=False, violations=False)
+        bad = annotated.filter(~F.col("_valid")).drop("_valid")
+        bad = self.check(bad, adapt=False, violations=True)
         exploded = bad.select(
             *id_cols, F.posexplode("_violations").alias("violation_index", "v")
         )
