@@ -1,0 +1,253 @@
+"""M2 gate: every validator family lowered against typed Spark columns,
+compared value-by-value with the kernel (verdicts, adapted values, and
+first-violation messages where natively lowered)."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+import valideer_spark as V
+from valideer_spark.core.errors import ValidationError
+from valideer_spark.plans import lower
+
+
+def run_case(
+    spark,
+    schema_obj,
+    dtype,
+    values,
+    check_adapted=True,
+    check_messages=True,
+    to_py=lambda x: x,
+):
+    """Validate ``values`` (python cells of Spark type ``dtype``) through
+    the lowered plan and assert agreement with the kernel."""
+    validator = V.parse(schema_obj)
+    node = lower(validator, dtype)
+    df = spark.createDataFrame(
+        [(v,) for v in values], T.StructType([T.StructField("x", dtype)])
+    )
+    col = F.col("x")
+    out = df.select(
+        col.alias("x"),
+        node.predicate(col).alias("ok"),
+        node.violations(col, F.lit("")).alias("vio"),
+        node.adapt(col).alias("adapted"),
+    ).collect()
+    assert len(out) == len(values)
+    for row, value in zip(out, values):
+        pyval = to_py(value)
+        kernel_ok = validator.is_valid(pyval)
+        assert row.ok == kernel_ok, f"verdict mismatch for {pyval!r}"
+        assert (len(row.vio) > 0) == (not kernel_ok)
+        if kernel_ok and check_adapted:
+            kernel_adapted = validator.validate(pyval, adapt=True)
+            spark_adapted = row.adapted
+            assert spark_adapted == kernel_adapted, (
+                f"adapt mismatch for {pyval!r}: {spark_adapted!r} != {kernel_adapted!r}"
+            )
+        if not kernel_ok and check_messages:
+            with pytest.raises(ValidationError) as exc_info:
+                validator.validate(pyval, adapt=False)
+            kernel_msg = exc_info.value.to_string()
+            v = row.vio[0]
+            spark_msg = v["message"] + (" (at %s)" % v["path"] if v["path"] else "")
+            assert spark_msg == kernel_msg, f"for {pyval!r}"
+
+
+def test_string_length_bounds(spark):
+    run_case(spark, V.String(min_length=2, max_length=4), T.StringType(),
+             ["ab", "abcd", "a", "abcde", "", None])
+
+
+def test_pattern_start_anchor(spark):
+    run_case(spark, V.Pattern(r"a*$"), T.StringType(),
+             ["aaa", "", "aba", "baa", None])
+    run_case(spark, V.Pattern(r"\d{1,4}$"), T.StringType(),
+             ["123", "12345", "123a", "a123", None])
+
+
+def test_pattern_java_incompatible_falls_back(spark):
+    # (?P<name>...) is Python-only → kernel fallback path
+    run_case(spark, V.Pattern(r"(?P<d>\d+)$"), T.StringType(),
+             ["123", "x12", None], check_messages=True)
+
+
+def test_range_with_inner_schema(spark):
+    run_case(spark, V.Range("integer", min_value=1, max_value=10),
+             T.LongType(), [1, 10, 0, 11, -5, None])
+    # NB: schema-less Range vs None raises TypeError in the reference on
+    # py3 (None < 1.5) — undefined behavior, excluded from parity.
+    run_case(spark, V.Range(min_value=1.5), T.DoubleType(),
+             [2.0, 1.5, 1.0])
+
+
+def test_enum(spark):
+    run_case(spark, V.Enum(["r", "g", "b"]), T.StringType(),
+             ["r", "g", "b", "x", "", None])
+    run_case(spark, V.Enum([1, 2, 3]), T.LongType(), [1, 3, 0, 4, None])
+
+
+def test_nullable_with_default(spark):
+    run_case(spark, V.Nullable("integer", -1), T.LongType(),
+             [None, 0, 5])
+    run_case(spark, V.Nullable("string"), T.StringType(), [None, "x"])
+
+
+def test_nonnullable(spark):
+    run_case(spark, V.NonNullable("integer"), T.LongType(), [None, 0, 7])
+    run_case(spark, "+string", T.StringType(), [None, "", "x"])
+
+
+def test_anyof_same_type(spark):
+    run_case(spark, V.AnyOf(V.Enum(["a"]), V.Pattern(r"b+$")),
+             T.StringType(), ["a", "b", "bb", "c", "ab", None])
+
+
+def test_allof(spark):
+    run_case(spark, V.AllOf(V.String(max_length=4), V.Pattern(r"x.*$")),
+             T.StringType(), ["x", "xyz", "xyzzy", "abc", None])
+
+
+def test_chainof_adapt_then_check(spark):
+    run_case(spark, V.ChainOf(V.AdaptTo(int), V.Range(min_value=0)),
+             T.StringType(), ["12", "0", "-3", "x", None],
+             check_messages=False)  # kernel int() msg vs cast covered below
+
+
+def test_adapt_to_int_from_string(spark):
+    run_case(spark, V.AdaptTo(int, traps=(ValueError, TypeError)),
+             T.StringType(), ["12", "-4", "+7", "12b", "1.2", "", None])
+
+
+def test_adapt_to_int_from_double(spark):
+    run_case(spark, V.AdaptTo(int, traps=(ValueError, TypeError)),
+             T.DoubleType(), [1.2, -3.9, 0.0, float("nan"), None],
+             check_messages=False)  # nan msg text matches CPython; value repr differs
+
+
+def test_adapt_to_float_from_string(spark):
+    run_case(spark, V.AdaptTo(float, traps=(ValueError, TypeError)),
+             T.StringType(), ["1.5", "-2", "abc", "", None],
+             check_messages=False)  # Spark try_cast accepts a superset msg-wise
+
+
+def test_homogeneous_sequence(spark):
+    run_case(spark, V.HomogeneousSequence("integer", min_length=1, max_length=3),
+             T.ArrayType(T.LongType()),
+             [[1], [1, 2, 3], [], [1, 2, 3, 4], None, [5, None]])
+
+
+def test_heterogeneous_sequence_arity(spark):
+    # arrays map to python LISTS (the engine convention) — the kernel
+    # accepts any Sequence, and list adaptation rebuilds a list
+    run_case(spark, V.HeterogeneousSequence("string", "string"),
+             T.ArrayType(T.StringType()),
+             [["a", "b"], ["a"], [], ["a", "b", "c"], None])
+
+
+def test_mapping_value_before_key(spark):
+    run_case(
+        spark,
+        V.Mapping("string", V.Range("integer", min_value=1)),
+        T.MapType(T.StringType(), T.LongType()),
+        [{"a": 1, "b": 2}, {"a": 0}, {}, None],
+    )
+
+
+def test_object_additional_false(spark):
+    dtype = T.StructType([
+        T.StructField("foo", T.DoubleType()),
+        T.StructField("xyz", T.LongType()),
+    ])
+    run_case(
+        spark,
+        V.Object(required={"foo": "number"}, additional=False),
+        dtype,
+        [{"foo": 1.0, "xyz": None}, {"foo": 1.0, "xyz": 2}, {"foo": None, "xyz": None}],
+        to_py=lambda d: {k: v for k, v in d.items() if v is not None} if d else d,
+        check_adapted=False,
+    )
+
+
+def test_object_remove_additional(spark):
+    dtype = T.StructType([
+        T.StructField("foo", T.DoubleType()),
+        T.StructField("xyz", T.LongType()),
+    ])
+    validator = V.Object(required={"foo": "number"}, additional=V.Object.REMOVE)
+    node = lower(validator, dtype)
+    df = spark.createDataFrame([({"foo": 1.0, "xyz": 5},)],
+                               T.StructType([T.StructField("x", dtype)]))
+    row = df.select(node.adapt(F.col("x")).alias("a")).collect()[0]
+    assert row.a.foo == 1.0 and row.a.xyz is None  # stripped
+
+
+def test_object_nullable_default_fill(spark):
+    dtype = T.StructType([
+        T.StructField("foo", T.DoubleType()),
+        T.StructField("bar", T.BooleanType()),
+    ])
+    validator = V.parse({"+foo": "number", "?bar": V.Nullable("boolean", False)})
+    node = lower(validator, dtype)
+    df = spark.createDataFrame([({"foo": -12.0, "bar": None},)],
+                               T.StructType([T.StructField("x", dtype)]))
+    out = df.select(node.predicate(F.col("x")).alias("ok"),
+                    node.adapt(F.col("x")).alias("a")).collect()[0]
+    assert out.ok
+    assert out.a.bar is False  # missing property filled from Nullable default
+
+
+def test_object_ignore_optional_errors(spark):
+    dtype = T.StructType([
+        T.StructField("foo", T.DoubleType()),
+        T.StructField("zoo", T.StringType()),
+    ])
+    validator = V.Object(
+        required={"foo": "number"},
+        optional={"zoo": V.Pattern(r"\d+$")},
+        ignore_optional_errors=True,
+    )
+    node = lower(validator, dtype)
+    df = spark.createDataFrame(
+        [({"foo": 1.0, "zoo": "bad!"},), ({"foo": 1.0, "zoo": "42"},)],
+        T.StructType([T.StructField("x", dtype)]),
+    )
+    rows = df.select(node.predicate(F.col("x")).alias("ok"),
+                     node.adapt(F.col("x")).alias("a")).collect()
+    assert rows[0].ok and rows[0].a.zoo is None   # invalid optional dropped
+    assert rows[1].ok and rows[1].a.zoo == "42"
+
+
+def test_condition_fallback_scalar(spark):
+    def is_odd(n):
+        return n % 2 == 1
+
+    run_case(spark, V.Condition(is_odd), T.LongType(),
+             [1, 3, 6, 0, None], check_adapted=False)
+
+
+def test_condition_fallback_struct(spark):
+    dtype = T.StructType([T.StructField("a", T.LongType()),
+                          T.StructField("b", T.LongType())])
+
+    def a_lt_b(d):
+        return d["a"] < d["b"]
+
+    run_case(spark, V.Condition(a_lt_b), dtype,
+             [{"a": 1, "b": 2}, {"a": 3, "b": 2}, None],
+             to_py=lambda d: {k: v for k, v in d.items() if v is not None} if d else d,
+             check_adapted=False, check_messages=False)
+
+
+def test_adaptby_fallback(spark):
+    run_case(spark, V.AdaptBy(hex, traps=TypeError), T.LongType(),
+             [255, 0, None], check_adapted=False, check_messages=False)
+    validator = V.AdaptBy(hex, traps=TypeError)
+    validator.spark_out_type = T.StringType()  # fallback adapt output type
+    node = lower(validator, T.LongType())
+    df = spark.createDataFrame([(255,), (0,)], "x long")
+    vals = [r.a for r in df.select(node.adapt(F.col("x")).alias("a")).collect()]
+    assert vals == ["0xff", "0x0"]

@@ -38,6 +38,8 @@ from __future__ import annotations
 import json
 import re
 from dataclasses import dataclass, field
+
+import pandas as pd  # module-level: pandas_udf type hints resolve here
 from typing import Any, Callable, List, Optional, Tuple
 
 from pyspark.sql import Column
@@ -275,31 +277,45 @@ def kernel_fallback(
     through JSON (``to_json`` omits null struct fields, which matches the
     engine's null-field == absent-property convention).
     """
-    import pandas as pd
-
     out_type = out_type or dtype
     scalar = _is_scalar_type(dtype)
+
+    integral = isinstance(
+        dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    )
+    boolean = isinstance(dtype, T.BooleanType)
 
     def to_py(x: Any) -> Any:
         if x is None or (isinstance(x, float) and x != x):
             return None
         if hasattr(x, "item"):  # numpy scalar
-            return x.item()
+            x = x.item()
+        # pandas upcasts nullable int64/bool columns to float64/object;
+        # restore the exact python type the kernel expects
+        if integral and isinstance(x, float):
+            return int(x)
+        if boolean and isinstance(x, (int, float)) and not isinstance(x, bool):
+            return bool(x)
         return x
 
     @F.pandas_udf(T.BooleanType())
     def ok_udf(s: pd.Series) -> pd.Series:
         return s.map(lambda x: validator.is_valid(to_py(x)))
 
+    def decode(x):
+        if scalar:
+            return to_py(x)
+        return None if x is None else json.loads(x)
+
     @F.pandas_udf(T.BooleanType())
     def ok_json_udf(s: pd.Series) -> pd.Series:
-        return s.map(lambda x: x is not None and validator.is_valid(json.loads(x)))
+        return s.map(lambda x: validator.is_valid(decode(x)))
 
     @F.pandas_udf(T.StringType())
     def msg_udf(s: pd.Series) -> pd.Series:
         def one(x):
             try:
-                validator.validate(to_py(x) if scalar else json.loads(x), adapt=False)
+                validator.validate(decode(x), adapt=False)
                 return None
             except ValidationError as ex:
                 return ex.msg
@@ -321,7 +337,7 @@ def kernel_fallback(
         suffixes, messages = [], []
         for x in s:
             try:
-                validator.validate(to_py(x) if scalar else json.loads(x), adapt=False)
+                validator.validate(decode(x), adapt=False)
                 suffixes.append(None)
                 messages.append(None)
             except ValidationError as ex:
@@ -443,15 +459,18 @@ def _lower_pattern(v: K.Pattern, dtype: T.DataType) -> Lowered:
     java_pattern = translate_python_regex(v.regexp.pattern)
     if java_pattern is None:
         return kernel_fallback(v, dtype)
+    # kernel parity: Pattern overrides error(), so BOTH the type failure and
+    # the regex failure raise "must match pattern …" (validators.py:445-452)
     bare = "must match %s" % v.humanized_name
-    checks = _type_checks(K.String(), dtype, ok)
-    checks.append(
+    checks = [
         _Check(
             "pattern",
-            lambda col: ~col.rlike(java_pattern),
+            (lambda col: F.lit(True))
+            if not ok
+            else (lambda col: col.isNull() | ~col.rlike(java_pattern)),
             lambda col: F.lit(bare),
         )
-    )
+    ]
     return _leaf(dtype, checks, static_msg=bare)
 
 
@@ -711,6 +730,18 @@ def _lower_condition(v: K.Condition, dtype: T.DataType) -> Lowered:
 
 _INT_LITERAL = "^[+-]?[0-9]+$"
 
+_INT_NULL_MSG = (
+    "int() argument must be a string, a bytes-like object or a real number, "
+    "not 'NoneType'"
+)
+_FLOAT_NULL_MSG = (
+    "float() argument must be a string or a real number, not 'NoneType'"
+)
+
+
+def _null_check(constraint: str, msg: str) -> _Check:
+    return _Check(constraint, lambda col: col.isNull(), lambda col, m=msg: F.lit(m))
+
 
 def _lower_adapt_to(v: K.AdaptTo, dtype: T.DataType) -> Lowered:
     target = v._adaptor
@@ -718,6 +749,7 @@ def _lower_adapt_to(v: K.AdaptTo, dtype: T.DataType) -> Lowered:
         if isinstance(dtype, T.StringType):
             # Python int("1.2") raises; exact CPython error message.
             checks = [
+                _null_check("adapt_to:int", _INT_NULL_MSG),
                 _Check(
                     "adapt_to:int",
                     lambda col: ~col.rlike(_INT_LITERAL),
@@ -725,35 +757,39 @@ def _lower_adapt_to(v: K.AdaptTo, dtype: T.DataType) -> Lowered:
                         "invalid literal for int() with base 10: %s",
                         py_repr(col, dtype),
                     ),
-                )
+                ),
             ]
             return _leaf(
-                dtype, checks, adapt=lambda col: col.cast(T.LongType()),
+                dtype, checks, adapt=lambda col: col.try_cast(T.LongType()),
                 out_type=T.LongType(),
             )
         if isinstance(dtype, (T.FloatType, T.DoubleType)):
             checks = [
+                _null_check("adapt_to:int", _INT_NULL_MSG),
                 _Check(
                     "adapt_to:int",
                     lambda col: F.isnan(col) | (F.abs(col) == float("inf")),
                     lambda col: F.lit("cannot convert float NaN to integer"),
-                )
+                ),
             ]
-            # cast double→long truncates toward zero, matching int(float)
+            # try_cast double→long truncates toward zero, matching int(float);
+            # NaN/inf → NULL (guarded invalid by the check above)
             return _leaf(
-                dtype, checks, adapt=lambda col: col.cast(T.LongType()),
+                dtype, checks, adapt=lambda col: col.try_cast(T.LongType()),
                 out_type=T.LongType(),
             )
         if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
                               T.BooleanType)):
-            return _leaf(dtype, [], adapt=lambda col: col.cast(T.LongType()),
+            return _leaf(dtype, [_null_check("adapt_to:int", _INT_NULL_MSG)],
+                         adapt=lambda col: col.cast(T.LongType()),
                          out_type=T.LongType())
     if target is float:
         if isinstance(dtype, T.StringType):
             checks = [
+                _null_check("adapt_to:float", _FLOAT_NULL_MSG),
                 _Check(
                     "adapt_to:float",
-                    lambda col: F.try_cast(col, "double").isNull(),
+                    lambda col: col.try_cast(T.DoubleType()).isNull(),
                     lambda col: F.format_string(
                         "could not convert string to float: %s",
                         py_repr(col, dtype),
@@ -761,7 +797,7 @@ def _lower_adapt_to(v: K.AdaptTo, dtype: T.DataType) -> Lowered:
                 )
             ]
             return _leaf(
-                dtype, checks, adapt=lambda col: col.cast(T.DoubleType()),
+                dtype, checks, adapt=lambda col: col.try_cast(T.DoubleType()),
                 out_type=T.DoubleType(),
             )
         if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
@@ -827,7 +863,7 @@ def _lower_homogeneous_sequence(v: K.HomogeneousSequence, dtype: T.DataType) -> 
         first_bad = F.filter(col, lambda x: ~item.predicate(x))
         return F.coalesce(
             own.msg(col),
-            F.when(F.size(first_bad) > 0, item.msg(F.element_at(first_bad, 1))),
+            F.when(F.size(first_bad) > 0, item.msg(F.get(first_bad, 0))),
         )
 
     return Lowered(out_type, predicate, adapt, violations, msg)
@@ -858,19 +894,19 @@ def _lower_heterogeneous_sequence(
     def predicate(col: Column) -> Column:
         p = own.predicate(col)
         for i, node in enumerate(items):
-            p = p & node.predicate(F.element_at(col, i + 1))
+            p = p & node.predicate(F.get(col, i))
         return _nullsafe(p)
 
     def adapt(col: Column) -> Column:
         return F.array(
-            *[node.adapt(F.element_at(col, i + 1)) for i, node in enumerate(items)]
+            *[node.adapt(F.get(col, i)) for i, node in enumerate(items)]
         )
 
     def violations(col: Column, path: Column) -> Column:
         own_v = own.violations(col, path)
         parts = [
             node.violations(
-                F.element_at(col, i + 1), _extend_path_index(path, F.lit(i))
+                F.get(col, i), _extend_path_index(path, F.lit(i))
             )
             for i, node in enumerate(items)
         ]
@@ -878,7 +914,7 @@ def _lower_heterogeneous_sequence(
         return F.when(F.size(own_v) > 0, own_v).otherwise(rest)
 
     def msg(col: Column) -> Column:
-        parts = [node.msg(F.element_at(col, i + 1)) for i, node in enumerate(items)]
+        parts = [node.msg(F.get(col, i)) for i, node in enumerate(items)]
         return F.coalesce(own.msg(col), *parts) if parts else own.msg(col)
 
     return Lowered(T.ArrayType(out_elem), predicate, adapt, violations, msg)
@@ -920,7 +956,7 @@ def _lower_mapping(v: K.Mapping, dtype: T.DataType) -> Lowered:
                             e.getField("value"),
                             extend_path(
                                 path,
-                                py_repr(e.getField("key"), dtype.keyType),
+                                e.getField("key").cast("string"),
                                 py_repr(e.getField("key"), dtype.keyType),
                             ),
                         ),
@@ -943,10 +979,10 @@ def _lower_mapping(v: K.Mapping, dtype: T.DataType) -> Lowered:
         parts = []
         if vv:
             bad = F.filter(F.map_values(col), lambda x: ~vv.predicate(x))
-            parts.append(F.when(F.size(bad) > 0, vv.msg(F.element_at(bad, 1))))
+            parts.append(F.when(F.size(bad) > 0, vv.msg(F.get(bad, 0))))
         if kv:
             bad = F.filter(F.map_keys(col), lambda x: ~kv.predicate(x))
-            parts.append(F.when(F.size(bad) > 0, kv.msg(F.element_at(bad, 1))))
+            parts.append(F.when(F.size(bad) > 0, kv.msg(F.get(bad, 0))))
         return F.coalesce(own.msg(col), *parts) if parts else own.msg(col)
 
     kt = kv.out_type if kv else dtype.keyType
@@ -1187,4 +1223,6 @@ def lower(validator: Validator, dtype: T.DataType) -> Lowered:
     for cls, fn in _LOWERINGS:
         if isinstance(validator, cls):
             return fn(validator, dtype)
-    return kernel_fallback(validator, dtype)
+    return kernel_fallback(
+        validator, dtype, out_type=getattr(validator, "spark_out_type", None)
+    )
