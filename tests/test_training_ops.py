@@ -1,0 +1,157 @@
+"""Training-data pipeline operators: dedup, similarity, text analysis,
+multimodal plumbing."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from valideer_spark.operators import (
+    ann_lsh_topk,
+    cosine_self_join_topk,
+    cosine_topk,
+    doc_fingerprint,
+    exact_duplicates,
+    extract_media_metadata,
+    language_guess,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    quality_score,
+    simhash_duplicates,
+    synth_media_payloads,
+    text_stats,
+    token_count,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2, "the quick brown fox jumps over the lazy dog near the river bend"),
+    (3, "completely different content about spark query engines and plans"),
+    (4, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (5, "el gato y el perro en la casa de la abuela que es grande"),
+    (6, "short"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_exact_duplicates(docs_df):
+    groups = exact_duplicates(docs_df).collect()
+    assert len(groups) == 1
+    assert groups[0]["doc_ids"] == [1, 4]
+
+
+def test_ngram_jaccard_pairs(docs_df):
+    pairs = {
+        (r["a_id"], r["b_id"]): r
+        for r in ngram_jaccard_pairs(docs_df, threshold_num=1, threshold_den=2).collect()
+    }
+    assert (1, 4) in pairs  # identical
+    assert (1, 2) in pairs  # one word differs
+    assert (1, 3) not in pairs
+    r = pairs[(1, 4)]
+    assert r["n_common"] == r["n_a"] == r["n_b"]
+
+
+def test_minhash_identical_signatures(docs_df):
+    sigs = {r["id"]: r["signature"] for r in minhash_signatures(docs_df).collect()}
+    assert sigs[1] == sigs[4]
+    assert sigs[1] != sigs[3]
+    # near-identical docs share most minhash slots
+    agree = sum(a == b for a, b in zip(sigs[1], sigs[2]))
+    assert agree > len(sigs[1]) * 0.5
+
+
+def test_minhash_lsh_candidates(docs_df):
+    cands = {
+        (r["a_id"], r["b_id"]) for r in minhash_lsh_candidates(docs_df).collect()
+    }
+    assert (1, 4) in cands
+    assert (1, 2) in cands
+    assert (3, 5) not in cands
+
+
+def test_simhash_duplicates(docs_df):
+    groups = simhash_duplicates(docs_df).collect()
+    assert any(g["ids"] == [1, 4] for g in groups)
+
+
+def test_cosine_topk_and_ann(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.normal(0, 1, (50, 8)).astype("float32")
+    base[17] = base[3] * 0.9 + 0.01  # near-dup of row 3
+    rows = [(i, [float(x) for x in base[i]]) for i in range(50)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    query = [float(x) for x in base[3]]
+
+    exact = [r["id"] for r in cosine_topk(df, query, k=5).collect()]
+    assert exact[0] == 3 and 17 in exact[:2]
+
+    approx = [r["id"] for r in ann_lsh_topk(df, query, k=5, n_planes=4).collect()]
+    assert approx[0] == 3 and 17 in approx  # same bucket w.h.p. (seeded)
+
+    knn = cosine_self_join_topk(df, k=3, n_planes=3)
+    top_for_3 = [r["neighbor"] for r in knn.filter(F.col("id") == 3).collect()]
+    assert 17 in top_for_3
+
+
+def test_token_count_and_stats(docs_df):
+    tc = {r["doc_id"]: r for r in token_count(docs_df).collect()}
+    assert tc[6]["n_tokens"] == 1
+    assert tc[1]["n_tokens"] == 13
+    st = {r["doc_id"]: r for r in text_stats(docs_df).collect()}
+    assert st[6]["n_chars"] == 5
+    assert st[6]["n_alpha"] == 5
+    assert st[1]["n_space"] == 12
+
+
+def test_quality_and_language(docs_df):
+    q = {r["doc_id"]: r["quality"] for r in quality_score(docs_df).collect()}
+    assert q[1] > q[6]  # real sentence beats 5-char fragment
+    langs = {r["doc_id"]: r["lang_guess"] for r in language_guess(docs_df).collect()}
+    assert langs[1] == "en"
+    assert langs[5] == "es"
+
+
+def test_doc_fingerprint(docs_df):
+    fp = {r["doc_id"]: r for r in doc_fingerprint(docs_df).collect()}
+    assert fp[1]["content_hash"] == fp[4]["content_hash"]
+    assert fp[1]["content_hash"] != fp[2]["content_hash"]
+    assert fp[1]["min_kgram_hash"] is not None
+
+
+def test_multimodal_metadata_plumbing(spark):
+    from valideer_spark.sources import synth_docs
+
+    docs = synth_docs(spark, 300)
+    payloads = synth_media_payloads(docs)
+    meta = extract_media_metadata(payloads)
+    rows = meta.collect()
+    assert len(rows) == payloads.count()
+    r = rows[0]
+    assert r["n_bytes"] > 0
+    assert len(r["content_hash"]) == 16
+    assert len(r["feature"]) == 16
+    img = [x for x in rows if x["media_kind"] == "image"]
+    assert img and all(x["width"] > 0 and x["duration_ms"] == 0 for x in img)
+    av = [x for x in rows if x["media_kind"] in ("audio", "video")]
+    assert av and all(x["duration_ms"] >= 0 for x in av)
+    # determinism: same payload → same metadata
+    again = {(x["media_ref"], x["content_hash"]) for x in meta.collect()}
+    assert again == {(x["media_ref"], x["content_hash"]) for x in rows}
+
+
+def test_multimodal_raise_stub(spark):
+    from valideer_spark.sources import synth_docs
+
+    docs = synth_docs(spark, 50)
+    payloads = synth_media_payloads(docs)
+    meta = extract_media_metadata(payloads, decode_stub="raise")
+    with pytest.raises(Exception, match="NotImplementedError|codecs"):
+        meta.collect()

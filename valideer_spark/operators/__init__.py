@@ -2,6 +2,23 @@ from .stats import column_profile
 from .uniqueness import duplicate_keys
 from .referential import orphan_rows, orphan_keys
 from .drift import quantile_drift, tdigest_quantiles
+from .dedup import (
+    exact_duplicates,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_duplicates,
+)
+from .similarity import ann_lsh_topk, cosine_self_join_topk, cosine_topk
+from .text import (
+    doc_fingerprint,
+    language_guess,
+    quality_score,
+    text_stats,
+    token_count,
+)
+from .multimodal import extract_media_metadata, synth_media_payloads
 
 __all__ = [
     "column_profile",
@@ -10,4 +27,20 @@ __all__ = [
     "orphan_keys",
     "quantile_drift",
     "tdigest_quantiles",
+    "exact_duplicates",
+    "minhash_lsh_candidates",
+    "minhash_signatures",
+    "ngram_jaccard_pairs",
+    "simhash",
+    "simhash_duplicates",
+    "ann_lsh_topk",
+    "cosine_self_join_topk",
+    "cosine_topk",
+    "doc_fingerprint",
+    "language_guess",
+    "quality_score",
+    "text_stats",
+    "token_count",
+    "extract_media_metadata",
+    "synth_media_payloads",
 ]

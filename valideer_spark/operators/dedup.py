@@ -1,0 +1,250 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All hot paths are pure Spark Column expressions / joins — no Python UDFs:
+
+* :func:`exact_duplicates` — hash-groupBy on a normalized content key.
+* :func:`ngram_jaccard_pairs` — EXACT n-gram Jaccard via a shingle
+  inverted index (explode → self-join → count), integer-arithmetic
+  threshold test (no float compare). Quadratic only within shingle
+  buckets; at 100 TB you run it after MinHash candidate generation.
+* :func:`minhash_signatures` / :func:`minhash_lsh_candidates` — MinHash
+  (k universal hash functions over xxhash64 shingle hashes, deterministic
+  seeded coefficients) + banded LSH bucketing; candidate pairs come from a
+  band-bucket self-join (shuffle on band hash, AQE handles bucket skew).
+* :func:`simhash` — 64-bit SimHash over token hashes with bitwise
+  aggregate expressions; near-dups = equal simhash (or equal rotated
+  bands for hamming ≤ b).
+
+Scale notes: every operator keys its shuffle on a hash value with near-
+uniform distribution; LSH bucket joins explode only within-bucket pairs
+(bucket size is bounded w.h.p.). Exact post-verification of candidates is
+linear in candidate count.
+"""
+
+from __future__ import annotations
+
+import random
+from typing import List, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Mersenne prime for universal hashing (fits in signed 64-bit arithmetic
+# after the modulo; products use Spark's 64-bit ops on 31-bit coefficients)
+_P = (1 << 31) - 1
+
+
+def _hash_coefficients(k: int, seed: int = 42) -> List[tuple[int, int]]:
+    rng = random.Random(seed)
+    return [(rng.randrange(1, _P), rng.randrange(0, _P)) for _ in range(k)]
+
+
+def normalized_text(col: Column) -> Column:
+    """Whitespace-collapsed, lowercased content key for exact dedup."""
+    return F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
+
+
+def exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Groups of exact (normalized) duplicates → (content_key, n_docs,
+    doc_ids). Group key is the 64-bit content hash, so the shuffle moves
+    only (hash, id) pairs, never the text."""
+    keyed = df.select(
+        F.xxhash64(normalized_text(F.col(text_col))).alias("content_key"),
+        F.col(id_col).alias("doc_id"),
+    )
+    return (
+        keyed.groupBy("content_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles of a text column (empty-safe)."""
+    tokens = F.split(normalized_text(col), " ")
+    k = F.size(tokens) - (n - 1)
+    return F.when(k <= 0, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), k - 1),
+                lambda i: F.array_join(F.slice(tokens, i + 1, n), " "),
+            )
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+) -> DataFrame:
+    """Exact pairs with Jaccard(shingles) >= threshold_num/threshold_den.
+
+    Inverted-index join: explode distinct shingles, self-join on the
+    shingle hash, count common shingles per pair, compare with integer
+    cross-multiplication (common * den >= num * (|A| + |B| - common)).
+    Output: (a_id, b_id, n_common, n_a, n_b) with a_id < b_id.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("sh")
+    ).filter(F.size("sh") > 0)
+    sizes = base.select("id", F.size("sh").alias("n_sh"))
+    inv = base.select(
+        "id", F.explode("sh").alias("shingle")
+    ).select("id", F.xxhash64("shingle").alias("sid"))
+
+    a = inv.alias("a")
+    b = inv.alias("b")
+    common = (
+        a.join(b, (F.col("a.sid") == F.col("b.sid")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("a_id"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("b_id"), F.col("n_sh").alias("n_b"))
+    joined = common.join(sa, "a_id").join(sb, "b_id")
+    return joined.filter(
+        F.col("n_common") * threshold_den
+        >= threshold_num * (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    ).select("a_id", "b_id", "n_common", "n_a", "n_b")
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, signature array<long>) — elementwise-min of k universal hashes
+    over the shingle xxhash64 values, all inside Column expressions."""
+    coeffs = _hash_coefficients(num_hashes, seed)
+    # stage the shingle hashes into a real column first: referencing the
+    # expression k times would re-tokenize and re-hash the text k times
+    # (no CSE across array-lambda boundaries)
+    staged = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            word_shingles(F.col(text_col), shingle_n),
+            lambda s: F.pmod(F.xxhash64(s), F.lit(_P)),
+        ).alias("_hashes"),
+    ).filter(F.size("_hashes") > 0)
+
+    def universal(a: int, b: int):
+        # closure factory: a default-arg lambda would change the lambda's
+        # arity as seen by Spark's higher-order-function binder
+        return lambda h: F.pmod(a * h + b, F.lit(_P))
+
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col("_hashes"), universal(a, b))).alias(f"h{i}")
+            for i, (a, b) in enumerate(coeffs)
+        ]
+    )
+    return staged.select("id", sig.alias("signature"))
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate candidate pairs (a_id, b_id, n_bands_hit) via banded
+    MinHash LSH: docs agreeing on any full band land in one bucket."""
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, seed)
+    band_cols = F.array(
+        *[
+            F.xxhash64(
+                F.lit(i),
+                F.array_join(
+                    F.transform(
+                        F.slice("signature", i * rows_per_band + 1, rows_per_band),
+                        lambda x: x.cast("string"),
+                    ),
+                    ",",
+                ),
+            )
+            for i in range(bands)
+        ]
+    )
+    buckets = sigs.select("id", F.explode(band_cols).alias("bucket"))
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+        .agg(F.count(F.lit(1)).alias("n_bands_hit"))
+    )
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+) -> DataFrame:
+    """(id, simhash long): sign of per-bit sums of token hashes.
+
+    The per-bit tally is an ``aggregate`` over the token-hash array with an
+    array<int> accumulator — one pass, no shuffle, no Python.
+    """
+    tokens = F.split(normalized_text(F.col(text_col)), " ")
+    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+    zero = F.array_repeat(F.lit(0), bits)
+    # NB: callers get one staged column scan; the bit-tally below is a
+    # single aggregate pass over the hash array
+
+    def add_bits(acc, h):
+        # shift amounts must be python ints (F.shiftright takes no Column)
+        signs = F.array(
+            *[
+                F.when(
+                    F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                ).otherwise(F.lit(-1))
+                for j in range(bits)
+            ]
+        )
+        return F.zip_with(acc, signs, lambda x, y: x + y)
+
+    staged = df.select(
+        F.col(id_col).alias("id"),
+        F.aggregate(hashes, zero, add_bits).alias("_tally"),
+    )
+    fingerprint = F.lit(0).cast("long")
+    for j in range(bits):
+        fingerprint = fingerprint.bitwiseOR(
+            F.when(
+                F.get(F.col("_tally"), j) > 0,
+                F.lit(1 << j if j < bits - 1 else -(1 << j)).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    return staged.select("id", fingerprint.alias("simhash"))
+
+
+def simhash_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Docs sharing an identical 64-bit SimHash (hamming-0 near-dups)."""
+    sh = simhash(df, text_col, id_col)
+    return (
+        sh.groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sort_array(F.collect_list("id")).alias("ids"))
+        .filter(F.col("n_docs") >= 2)
+    )

@@ -263,3 +263,273 @@ ORACLES: Dict[str, str] = {
     "lineitem_part_referential": ORACLE_LINEITEM_PART_REFERENTIAL,
     "orders_uniqueness": ORACLE_ORDERS_UNIQUENESS,
 }
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline queries (dedup / similarity / text analysis)
+# ---------------------------------------------------------------------------
+
+# DuckDB twin of operators.dedup.normalized_text
+_NORM_SQL = "lower(trim(regexp_replace({col}, '\\s+', ' ', 'g')))"
+
+
+def _documents_with_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    dupes = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    return docs.unionAll(dupes)
+
+
+_DOCS_DUPES_SQL = """
+docs_with_dupes AS (
+  SELECT * FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
+  FROM documents WHERE doc_id % 10 = 0
+)
+"""
+
+
+def q_dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import normalized_text
+
+    df = _documents_with_dupes(spark, sf_dir)
+    return (
+        df.groupBy(normalized_text(F.col("text")).alias("content"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .orderBy("content")
+    )
+
+
+ORACLE_DEDUP_EXACT_DOCUMENTS = f"""
+WITH {_DOCS_DUPES_SQL}
+SELECT {_NORM_SQL.format(col='text')} AS content, count(*) AS n_docs
+FROM docs_with_dupes
+GROUP BY 1 HAVING count(*) >= 2 ORDER BY content
+"""
+
+
+def q_jaccard_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import ngram_jaccard_pairs
+
+    df = _documents_with_dupes(spark, sf_dir)
+    return ngram_jaccard_pairs(
+        df, "text", "doc_id", n=3, threshold_num=1, threshold_den=2
+    ).orderBy("a_id", "b_id")
+
+
+ORACLE_JACCARD_PAIRS_DOCUMENTS = f"""
+WITH {_DOCS_DUPES_SQL},
+toks AS (
+  SELECT doc_id, string_split({_NORM_SQL.format(col='text')}, ' ') AS t
+  FROM docs_with_dupes
+), sh AS (
+  SELECT doc_id,
+    list_distinct(list_transform(range(0, greatest(len(t) - 2, 0)),
+                  j -> array_to_string(t[j+1:j+3], ' '))) AS shingles
+  FROM toks
+), sized AS (
+  SELECT doc_id, len(shingles) AS n_sh FROM sh WHERE len(shingles) > 0
+), inv AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh WHERE len(shingles) > 0
+), pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_common
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT p.a_id, p.b_id, p.n_common, sa.n_sh AS n_a, sb.n_sh AS n_b
+FROM pairs p
+JOIN sized sa ON sa.doc_id = p.a_id
+JOIN sized sb ON sb.doc_id = p.b_id
+WHERE p.n_common * 2 >= 1 * (sa.n_sh + sb.n_sh - p.n_common)
+ORDER BY a_id, b_id
+"""
+
+
+def q_text_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import text_stats
+
+    docs = load_table(spark, "documents", sf_dir)
+    return text_stats(docs).orderBy("doc_id")
+
+
+ORACLE_TEXT_STATS_DOCUMENTS = f"""
+SELECT doc_id,
+  length(text) AS n_chars,
+  length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS n_alpha,
+  length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+  length(text) - length(regexp_replace(text, '\\s', '', 'g')) AS n_space,
+  length(text) - length(regexp_replace(text, '[\\.,;:!?''"()\\[\\]{{}}-]', '', 'g')) AS n_punct,
+  len(string_split({_NORM_SQL.format(col='text')}, ' ')) AS n_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_token_count_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import token_count
+
+    docs = load_table(spark, "documents", sf_dir)
+    return token_count(docs).orderBy("doc_id")
+
+
+ORACLE_TOKEN_COUNT_DOCUMENTS = f"""
+WITH toks AS (
+  SELECT doc_id, text, string_split({_NORM_SQL.format(col='text')}, ' ') AS t
+  FROM documents
+)
+SELECT doc_id,
+  len(t) AS n_tokens,
+  len(t)
+    + length(regexp_replace(text, '[^\\.,;:!?]', '', 'g'))
+    + list_sum(list_transform(t, x -> CASE WHEN length(x) > 6 THEN length(x) // 6 ELSE 0 END)) AS n_subwords
+FROM toks ORDER BY doc_id
+"""
+
+
+def q_language_guess_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import language_guess
+
+    docs = load_table(spark, "documents", sf_dir)
+    return language_guess(docs).orderBy("doc_id")
+
+
+def _lang_oracle() -> str:
+    from .operators.text import STOPWORDS
+
+    hit_exprs = {
+        lang: "len(list_filter(t, x -> x IN (%s)))"
+        % ", ".join("'%s'" % w for w in ws)
+        for lang, ws in STOPWORDS.items()
+    }
+    # same strict-> argmax order as the Spark loop (dict insertion order)
+    langs = list(hit_exprs)
+    case = "CASE"
+    # replicate sequential max: best = first lang with strictly more hits
+    # than all previous bests; build nested comparison
+    expr = "'unknown'"
+    best = "0"
+    for lang in langs:
+        h = hit_exprs[lang]
+        expr = f"CASE WHEN {h} > {best} THEN '{lang}' ELSE {expr} END"
+        best = f"greatest({h}, {best})"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, text, string_split({_NORM_SQL.format(col='text')}, ' ') AS t
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN 2 * (length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g'))) >= length(text)
+       THEN 'zh' ELSE {expr} END AS lang_guess
+FROM toks ORDER BY doc_id
+"""
+
+
+def q_cosine_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import cosine_topk
+
+    embs = load_table(spark, "embeddings", sf_dir)
+    query = embs.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    top = cosine_topk(embs.filter(F.col("vec_id") != 0), query, k=20)
+    from pyspark.sql.window import Window
+
+    return top.select(
+        F.row_number().over(Window.orderBy(F.desc("score"), F.asc("id"))).alias("rank"),
+        F.col("id").alias("vec_id"),
+    )
+
+
+ORACLE_COSINE_TOPK_EMBEDDINGS = """
+WITH q AS (
+  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv FROM embeddings WHERE vec_id = 0
+), scored AS (
+  SELECT e.vec_id,
+    list_sum(list_transform(range(1, len(e.embedding) + 1),
+             i -> CAST(e.embedding[i] AS DOUBLE) * q.qv[i]))
+    / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       * sqrt(list_sum(list_transform(q.qv, x -> x * x)))) AS score
+  FROM embeddings e, q WHERE e.vec_id <> 0
+)
+SELECT row_number() OVER (ORDER BY score DESC, vec_id ASC) AS rank, vec_id
+FROM scored ORDER BY score DESC, vec_id ASC LIMIT 20
+"""
+
+
+def q_minhash_lsh_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import minhash_lsh_candidates
+
+    df = _documents_with_dupes(spark, sf_dir)
+    return minhash_lsh_candidates(df, "text", "doc_id").orderBy("a_id", "b_id")
+
+
+def q_simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import simhash_duplicates
+
+    df = _documents_with_dupes(spark, sf_dir)
+    return simhash_duplicates(df).select(
+        "simhash", "n_docs", F.col("ids").cast("array<string>").alias("ids")
+    ).orderBy("simhash")
+
+
+def q_ann_lsh_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import ann_lsh_topk
+
+    embs = load_table(spark, "embeddings", sf_dir)
+    query = embs.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return ann_lsh_topk(
+        embs.filter(F.col("vec_id") != 0), query, k=10, n_planes=6
+    ).select("id")
+
+
+def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import extract_media_metadata, synth_media_payloads
+
+    docs = _docs(spark)
+    meta = extract_media_metadata(synth_media_payloads(docs))
+    return (
+        meta.groupBy("media_kind")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_bytes").alias("total_bytes"))
+        .orderBy("media_kind")
+    )
+
+
+def q_drift_documents_nchars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.drift import quantile_drift
+
+    docs = load_table(spark, "documents", sf_dir)
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    return quantile_drift(a, b, "n_chars")
+
+
+QUERIES.update(
+    {
+        "dedup_exact_documents": q_dedup_exact_documents,
+        "jaccard_pairs_documents": q_jaccard_pairs_documents,
+        "text_stats_documents": q_text_stats_documents,
+        "token_count_documents": q_token_count_documents,
+        "language_guess_documents": q_language_guess_documents,
+        "cosine_topk_embeddings": q_cosine_topk_embeddings,
+        "minhash_lsh_documents": q_minhash_lsh_documents,
+        "simhash_documents": q_simhash_documents,
+        "ann_lsh_embeddings": q_ann_lsh_embeddings,
+        "media_metadata": q_media_metadata,
+        "drift_documents_nchars": q_drift_documents_nchars,
+    }
+)
+
+ORACLES.update(
+    {
+        "dedup_exact_documents": ORACLE_DEDUP_EXACT_DOCUMENTS,
+        "jaccard_pairs_documents": ORACLE_JACCARD_PAIRS_DOCUMENTS,
+        "text_stats_documents": ORACLE_TEXT_STATS_DOCUMENTS,
+        "token_count_documents": ORACLE_TOKEN_COUNT_DOCUMENTS,
+        "language_guess_documents": _lang_oracle(),
+        "cosine_topk_embeddings": ORACLE_COSINE_TOPK_EMBEDDINGS,
+        # minhash_lsh / simhash / ann_lsh: xxhash64 + seeded hyperplanes are
+        # Spark-side constructs → rows-only checks
+        # media_metadata: mapInPandas decode stub → rows-only
+        # drift_documents_nchars: approximate percentile sketch → rows-only
+    }
+)
