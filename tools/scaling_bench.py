@@ -1,0 +1,112 @@
+"""Two-parallelism scaling evidence (BASELINE.md sandbox protocol).
+
+Runs the flagship validation job on the SAME input at local[N] and
+local[4N] in separate JVMs (fresh SparkSession per run), reports docs/sec
+at both and efficiency = (rate_4N / rate_N) / 4. Also measures the
+single-threaded row-kernel rate as the reference's single-node stand-in.
+
+Usage: python tools/scaling_bench.py [N_DOCS]  (default 400000)
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+import time
+
+N_DOCS = int(sys.argv[1]) if len(sys.argv) > 1 else 400_000
+
+RUN_TEMPLATE = r"""
+import sys, time, json
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import SparkSession, functions as F
+spark = (SparkSession.builder.master("local[{cpus}]")
+         .config("spark.sql.shuffle.partitions", "{parts}")
+         .config("spark.sql.adaptive.enabled", "true")
+         .config("spark.driver.memory", "24g")
+         .config("spark.ui.enabled", "false").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+from valideer_spark.engine import ValidationEngine
+from valideer_spark.flagship import doc_schema
+from valideer_spark.sources import synth_docs
+
+docs = synth_docs(spark, {n_docs}).persist()
+n = docs.count()
+engine = ValidationEngine(doc_schema())
+# warm-up (codegen + JIT)
+engine.check(synth_docs(spark, 2000)).verdicts().collect()
+
+best = None
+for _ in range(3):
+    t0 = time.time()
+    report = engine.check(docs)
+    report.verdicts().agg(F.sum("n_docs"), F.sum("n_valid")).collect()
+    report.violation_rows().count()
+    dt = time.time() - t0
+    best = dt if best is None or dt < best else best
+print(json.dumps({{"cpus": {cpus}, "n": n, "secs": best,
+                   "docs_per_sec": n / best}}))
+spark.stop()
+"""
+
+
+def run(cpus: int, n_docs: int) -> dict:
+    code = RUN_TEMPLATE.format(cpus=cpus, parts=max(cpus, 8), n_docs=n_docs)
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=1200
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def kernel_rate(n_docs: int = 20_000) -> float:
+    """Single-threaded row-kernel throughput (the per-value reference
+    architecture's best case on this machine)."""
+    sys.path.insert(0, "/root/repo")
+    from valideer_spark.flagship import doc_schema
+
+    schema = doc_schema()
+    kinds = ["text", "image", "audio", "video", "table"]
+    docs = []
+    for i in range(n_docs):
+        spans = []
+        for j in range(i % 8 + 1):
+            kind = kinds[(i + 2 * j) % 5]
+            s = {"kind": kind, "offset": j * (i % 17 + 1)}
+            if kind == "text":
+                s["text"] = f"txt-{i}-{j} snippet"
+            else:
+                s["media_ref"] = f"media://{(i*97+j) % 4294967296:08x}/{(i+j) % 9999 + 1}"
+            spans.append(s)
+        docs.append({"doc_id": "doc-%012d" % i, "spans": spans})
+    t0 = time.time()
+    for d in docs:
+        schema.is_valid(d)
+    return n_docs / (time.time() - t0)
+
+
+def main() -> None:
+    k_rate = kernel_rate()
+    a = run(8, N_DOCS)
+    b = run(32, N_DOCS)
+    eff = (b["docs_per_sec"] / a["docs_per_sec"]) / 4.0
+    print(
+        json.dumps(
+            {
+                "n_docs": N_DOCS,
+                "local8": a,
+                "local32": b,
+                "scaling_efficiency_8_to_32": round(eff, 3),
+                "kernel_single_thread_docs_per_sec": round(k_rate, 1),
+                "speedup_vs_single_thread_kernel_at_32": round(
+                    b["docs_per_sec"] / k_rate, 2
+                ),
+            },
+            indent=2,
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

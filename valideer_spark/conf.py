@@ -1,0 +1,38 @@
+"""Recommended Spark configuration for the validation engine at scale.
+
+These are the settings the engine is designed against; apply them via
+``SparkSession.builder.config(...)`` or ``spark-submit --conf``.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+
+def recommended_conf(
+    executor_cores: int = 8,
+    target_partitions: int | None = None,
+) -> Dict[str, str]:
+    """Engine-recommended configs.
+
+    * AQE on (runtime coalescing + skew-join splitting) — the salted
+      uniqueness path and the referential joins rely on it for residual
+      skew beyond the explicit salting.
+    * 128 MB scan partitions keep the flagship check's per-task working
+      set (spans arrays + violation buffers) comfortably in executor
+      memory at wide schemas.
+    * Arrow batches sized for the pandas-UDF escape hatches (kernel
+      fallback, t-digest, multimodal decode).
+    """
+    conf = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+        "spark.sql.parquet.aggregatePushdown": "true",
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    }
+    if target_partitions:
+        conf["spark.sql.shuffle.partitions"] = str(target_partitions)
+    return conf
