@@ -1,0 +1,74 @@
+"""Engine-level table constraints: ConstraintSuite end to end."""
+
+from pyspark.sql import functions as F
+
+from valideer_spark.constraints import (
+    ConstraintSuite,
+    NoDrift,
+    References,
+    StatsBounds,
+    Unique,
+)
+from valideer_spark.sources import synth_docs, synth_media_catalog
+
+
+def test_constraint_suite_on_docs(spark):
+    docs = synth_docs(spark, 2000)
+    catalog = synth_media_catalog(spark, 2000)
+    offsets = docs.select(F.explode("spans").alias("s")).select(
+        F.col("s.offset").alias("offset"),
+        F.col("s.media_ref").alias("media_ref"),
+    )
+    suite = ConstraintSuite(
+        [
+            Unique("doc_id", salt=8),
+            References(
+                column="media_ref", ref=catalog, ref_column="media_ref",
+                explode_from="spans",
+            ),
+        ]
+    )
+    report = suite.check(docs)
+    # span-level stats bound runs on the exploded frame
+    offset_report = ConstraintSuite([StatsBounds("offset", min_value=0)]).check(offsets)
+    assert not offset_report.verdicts().collect()[0]["pass"]  # v4 offsets
+
+    verdicts = {r["constraint"]: r for r in report.verdicts().collect()}
+    assert not verdicts["unique:doc_id"]["pass"]          # v5 hot-key dupes
+    assert not verdicts["references:media_ref"]["pass"]   # v3/v6 orphans
+
+    vio = report.violations().collect()
+    kinds = {r["constraint"] for r in vio}
+    assert "unique:doc_id" in kinds and "references:media_ref" in kinds
+    hot = [r for r in vio if r["constraint"] == "unique:doc_id"]
+    assert any("occurrences" in r["detail"] for r in hot)
+
+
+def test_stats_bounds_violation(spark):
+    df = spark.createDataFrame([(1,), (2,), (-5,), (None,)], "x int")
+    suite = ConstraintSuite(
+        [StatsBounds("x", min_value=0, max_null_rate=0.1, min_distinct=10)]
+    )
+    report = suite.check(df)
+    vio = report.violations().collect()
+    details = sorted(r["detail"] for r in vio)
+    assert any("min -5.0 below 0" in d for d in details)
+    assert any("null rate" in d for d in details)
+    assert any("approx distinct" in d for d in details)
+    assert not report.verdicts().collect()[0]["pass"]
+
+
+def test_stats_bounds_pass(spark):
+    df = spark.createDataFrame([(1,), (2,), (3,)], "x int")
+    report = ConstraintSuite([StatsBounds("x", min_value=0, max_value=10)]).check(df)
+    assert report.verdicts().collect()[0]["pass"]
+    assert report.violations().count() == 0
+
+
+def test_no_drift(spark):
+    a = spark.range(5000).select((F.col("id") % 100).cast("double").alias("v"))
+    b = spark.range(5000).select((F.col("id") % 100 + 40).cast("double").alias("v"))
+    shifted = ConstraintSuite([NoDrift("v", against=b, max_abs_diff=10.0)]).check(a)
+    assert not shifted.verdicts().collect()[0]["pass"]
+    same = ConstraintSuite([NoDrift("v", against=a, max_abs_diff=10.0)]).check(a)
+    assert same.verdicts().collect()[0]["pass"]
