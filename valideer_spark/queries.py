@@ -533,3 +533,52 @@ ORACLES.update(
         # drift_documents_nchars: approximate percentile sketch → rows-only
     }
 )
+
+
+def q_constraint_suite_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative engine constraints over the docs table: uniqueness +
+    referential, reported as per-constraint verdicts."""
+    from .constraints import ConstraintSuite, References, Unique
+
+    docs = _docs(spark)
+    catalog = synth_media_catalog(spark, FLAGSHIP_N_DOCS)
+    suite = ConstraintSuite(
+        [
+            Unique("doc_id", salt=8),
+            References(
+                column="media_ref", ref=catalog, ref_column="media_ref",
+                explode_from="spans",
+            ),
+        ]
+    )
+    return suite.check(docs).verdicts().orderBy("constraint")
+
+
+ORACLE_CONSTRAINT_SUITE_DOCS = _docs_cte() + f"""
+, uniq AS (
+  SELECT count(*) AS n FROM (
+    SELECT doc_id FROM docs GROUP BY doc_id HAVING count(*) >= 2
+  )
+), refs AS (
+  SELECT count(*) AS n FROM (
+    SELECT s.media_ref
+    FROM (SELECT doc_id, unnest(spans) AS s FROM docs)
+    WHERE s.media_ref IS NOT NULL AND s.media_ref NOT IN (
+      SELECT DISTINCT s2.media_ref
+      FROM (SELECT doc_id, unnest(spans) AS s2 FROM docs)
+      WHERE NOT (CAST(substr(doc_id, 5) AS BIGINT) % 131 = 0
+                 AND CAST(substr(doc_id, 5) AS BIGINT) <> 0)
+        AND s2.media_ref IS NOT NULL
+        AND regexp_full_match(s2.media_ref, '{_MEDIA_FULL}')
+    )
+    GROUP BY s.media_ref
+  )
+)
+SELECT 'references:media_ref' AS "constraint", n AS n_violations, n = 0 AS pass FROM refs
+UNION ALL
+SELECT 'unique:doc_id', n, n = 0 FROM uniq
+ORDER BY "constraint"
+"""
+
+QUERIES["constraint_suite_docs"] = q_constraint_suite_docs
+ORACLES["constraint_suite_docs"] = ORACLE_CONSTRAINT_SUITE_DOCS
