@@ -877,6 +877,8 @@ def _lower_homogeneous_sequence(v: K.HomogeneousSequence, dtype: T.DataType) -> 
 def _lower_heterogeneous_sequence(
     v: K.HeterogeneousSequence, dtype: T.DataType
 ) -> Lowered:
+    if isinstance(dtype, T.StructType):
+        return _lower_heterogeneous_struct(v, dtype)
     if not isinstance(dtype, T.ArrayType):
         return _lower_type(v, dtype)
     items = [lower(s, dtype.elementType) for s in v._item_validators]
@@ -923,6 +925,82 @@ def _lower_heterogeneous_sequence(
         return F.coalesce(own.msg(col), *parts) if parts else own.msg(col)
 
     return Lowered(T.ArrayType(out_elem), predicate, adapt, violations, msg)
+
+
+def _lower_heterogeneous_struct(
+    v: K.HeterogeneousSequence, dtype: T.StructType
+) -> Lowered:
+    """Fixed-arity tuple as a positional StructType (SURVEY §1.2 mapping).
+
+    Arity is checked at compile time (the struct's field count is static);
+    item i validates field i with index context. A NULL struct is the only
+    runtime type failure.
+    """
+    fields = dtype.fields
+    n = len(v._item_validators)
+    arity_ok = len(fields) == n
+    items = (
+        [lower(s, f.dataType) for s, f in zip(v._item_validators, fields)]
+        if arity_ok
+        else []
+    )
+    type_bare = "must be %s" % v.humanized_name
+    arity_bare = "%d items expected, %d found" % (n, len(fields))
+
+    def own_checks(col: Column) -> List[Tuple[Column, Column]]:
+        checks = [(col.isNull(), F.lit(type_bare))]
+        if not arity_ok:
+            checks.append((F.lit(True), F.lit(arity_bare)))
+        return checks
+
+    def predicate(col: Column) -> Column:
+        p = col.isNotNull() & F.lit(arity_ok)
+        for f, node in zip(fields, items):
+            p = p & node.predicate(col.getField(f.name))
+        return _nullsafe(p)
+
+    def adapt(col: Column) -> Column:
+        if not arity_ok:
+            return col
+        return F.struct(
+            *[
+                node.adapt(col.getField(f.name)).alias(f.name)
+                for f, node in zip(fields, items)
+            ]
+        )
+
+    def violations(col: Column, path: Column) -> Column:
+        expr = None
+        for cond, bare in own_checks(col):
+            vio = _violation(
+                path, "tuple", _invalid_value_msg(col, dtype, bare)
+            )
+            expr = F.when(_nullsafe(cond), vio) if expr is None else expr.when(
+                _nullsafe(cond), vio
+            )
+        parts = [
+            node.violations(
+                col.getField(f.name), _extend_path_index(path, F.lit(i))
+            )
+            for i, (f, node) in enumerate(zip(fields, items))
+        ]
+        rest = F.concat(*parts) if parts else _no_violations()
+        return expr.otherwise(rest) if expr is not None else rest
+
+    def msg(col: Column) -> Column:
+        cands = [
+            F.when(_nullsafe(cond), bare) for cond, bare in own_checks(col)
+        ]
+        cands += [node.msg(col.getField(f.name)) for f, node in zip(fields, items)]
+        return F.coalesce(*cands) if cands else F.lit(None)
+
+    out_type = T.StructType(
+        [
+            T.StructField(f.name, node.out_type, True)
+            for f, node in zip(fields, items)
+        ]
+    ) if arity_ok else dtype
+    return Lowered(out_type, predicate, adapt, violations, msg)
 
 
 def _lower_mapping(v: K.Mapping, dtype: T.DataType) -> Lowered:
