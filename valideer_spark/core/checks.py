@@ -56,7 +56,10 @@ def _describe_types(types) -> str:
 # --------------------------------------------------------------------------
 
 class AnyOf(Validator):
-    """Disjunction: first component to accept supplies the adapted value."""
+    """Disjunction: first component to accept supplies the adapted value.
+
+    Reference parity: validators.py:18-40 (msgs joined " or ").
+    """
 
     def __init__(self, *schemas):
         self._components = [parse(s) for s in schemas]
@@ -77,7 +80,10 @@ class AnyOf(Validator):
 
 class AllOf(Validator):
     """Conjunction: every component validates the ORIGINAL value; the
-    adapted result is the LAST component's output."""
+    adapted result is the LAST component's output.
+
+    Reference parity: validators.py:43-61 (original-value semantics at :56).
+    """
 
     def __init__(self, *schemas):
         self._components = [parse(s) for s in schemas]
@@ -94,7 +100,10 @@ class AllOf(Validator):
 
 
 class ChainOf(Validator):
-    """Pipeline: each component sees the previous component's adaptation."""
+    """Pipeline: each component sees the previous component's adaptation.
+
+    Reference parity: validators.py:64-80.
+    """
 
     def __init__(self, *schemas):
         self._components = [parse(s) for s in schemas]
@@ -115,6 +124,9 @@ class Nullable(Validator):
     ``default`` may be a zero-argument callable. When used as an Object
     property schema, a *missing* property is filled from
     :attr:`default_object_property` iff that is not undefined.
+
+    Reference parity: validators.py:83-133 (unwrapping at :104-106,
+    default_object_property at :119-122, "?" factory at :129-133).
     """
 
     _UNDEFINED = object()
@@ -150,7 +162,11 @@ class Nullable(Validator):
 
 
 class NonNullable(Validator):
-    """Rejects ``None``; optionally delegates to an inner schema."""
+    """Rejects ``None``; optionally delegates to an inner schema.
+
+    Reference parity: validators.py:136-164 (unwrapping at :141-144,
+    "+" factory at :160-164).
+    """
 
     def __init__(self, schema=None):
         if schema is not None and not isinstance(schema, Validator):
@@ -182,6 +198,8 @@ class Enum(Validator):
 
     Values are kept as a set when hashable, else as a list; an unhashable
     probe value is simply invalid (TypeError swallowed).
+
+    Reference parity: validators.py:167-195.
     """
 
     values: Any = ()
@@ -213,6 +231,8 @@ class Condition(Validator):
 
     Exceptions listed in ``traps`` count as rejection; ``traps=()`` lets
     them propagate. Classes are not accepted as predicates.
+
+    Reference parity: validators.py:198-235.
     """
 
     def __init__(self, predicate, traps=Exception):
@@ -245,7 +265,10 @@ class Condition(Validator):
 
 class AdaptBy(Validator):
     """Replaces the value with ``adaptor(value)``; trapped exceptions are
-    wrapped into :class:`ValidationError`."""
+    wrapped into :class:`ValidationError`.
+
+    Reference parity: validators.py:239-259.
+    """
 
     def __init__(self, adaptor, traps=Exception):
         self._adaptor = adaptor
@@ -262,7 +285,10 @@ class AdaptBy(Validator):
 
 class AdaptTo(AdaptBy):
     """Adapts to a target class; instances pass through unless ``exact``
-    and the value is a strict subclass instance."""
+    and the value is a strict subclass instance.
+
+    Reference parity: validators.py:262-285.
+    """
 
     def __init__(self, target_cls, traps=Exception, exact=False):
         if not inspect.isclass(target_cls):
@@ -279,7 +305,10 @@ class AdaptTo(AdaptBy):
 
 
 class Type(Validator):
-    """isinstance check with accept/reject type tuples."""
+    """isinstance check with accept/reject type tuples.
+
+    Reference parity: validators.py:288-319 (incl. the raw-class factory).
+    """
 
     accept_types: Any = ()
     reject_types: Any = ()
@@ -352,6 +381,7 @@ class Range(Validator):
         self._max_value = max_value
 
     def validate(self, value, adapt=True):
+        # reference parity: validators.py:340-368
         if self._validator is not None:
             value = self._validator.validate(value, adapt=adapt)
         if self._min_value is not None and value < self._min_value:
@@ -393,7 +423,11 @@ _COMPILED_RE = type(re.compile(""))
 
 
 class Pattern(String):
-    """Strings matching a regexp — anchored at the START only (``re.match``)."""
+    """Strings matching a regexp — anchored at the START only (``re.match``).
+
+    Reference parity: validators.py:432-463 (re.match at :447; error
+    override at :451-452).
+    """
 
     regexp: Any = None
 
@@ -424,6 +458,8 @@ class HomogeneousSequence(Type):
 
     Adaptation rebuilds ``value.__class__(items)``; item error contexts are
     integer indices. Fails fast on the first invalid item.
+
+    Reference parity: validators.py:466-516.
     """
 
     accept_types = cabc.Sequence
@@ -464,7 +500,10 @@ class HomogeneousSequence(Type):
 
 
 class HeterogeneousSequence(Type):
-    """Non-string sequence of fixed arity; item i validated by schema i."""
+    """Non-string sequence of fixed arity; item i validated by schema i.
+
+    Reference parity: validators.py:519-558.
+    """
 
     accept_types = cabc.Sequence
     reject_types = str
@@ -499,6 +538,8 @@ class Mapping(Type):
 
     Each entry's VALUE is validated before its KEY; value errors get the key
     as context, key errors get none. Adaptation rebuilds ``value.__class__``.
+
+    Reference parity: validators.py:561-603 (ordering at :595-603).
     """
 
     accept_types = cabc.Mapping
@@ -545,6 +586,10 @@ class Object(Type):
 
     Adaptation starts from ``value.copy()``. On a name collision between
     ``optional`` and ``required``, required wins.
+
+    Reference parity: validators.py:606-732 (missing-required at :663-666,
+    ignore-optional delete at :676-682, Nullable default fill at :683-686,
+    additional policies at :688-708, dict merge at :654, factory :712-732).
     """
 
     accept_types = cabc.Mapping

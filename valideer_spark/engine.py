@@ -116,12 +116,16 @@ class ValidationEngine:
         self.buckets = buckets
         self.checkpoint_dir = checkpoint_dir
         self._plan: Optional[FramePlan] = None
+        self._plan_schema: Optional[str] = None
 
     def plan_for(self, df: DataFrame) -> FramePlan:
-        # compile against this frame's schema (cached per engine: schemas
-        # are compiled eagerly once, reference base.py:158-160 analog)
-        if self._plan is None or self._plan.lowered is None:
+        # compile once per (engine, frame schema) — the eager-compile
+        # memoization analog of reference base.py:158-160; recompile when a
+        # frame with a different schema arrives
+        schema_key = df.schema.simpleString()
+        if self._plan is None or self._plan_schema != schema_key:
             self._plan = compile_plan(self.schema, df)
+            self._plan_schema = schema_key
         return self._plan
 
     def check(self, df: DataFrame, adapt: bool = False) -> CheckReport:

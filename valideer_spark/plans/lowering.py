@@ -37,7 +37,7 @@ from __future__ import annotations
 
 import json
 import re
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import pandas as pd  # module-level: pandas_udf type hints resolve here
 from typing import Any, Callable, List, Optional, Tuple
@@ -49,12 +49,7 @@ from pyspark.sql import types as T
 from ..core import checks as K
 from ..core.errors import ValidationError
 from ..core.registry import Validator
-from .pyrepr import (
-    py_list_repr_of_strings,
-    py_repr,
-    python_type_name,
-    type_name_col,
-)
+from .pyrepr import py_list_repr_of_strings, py_repr, type_name_col
 
 VIOLATION_TYPE = T.ArrayType(
     T.StructType(
@@ -80,10 +75,6 @@ class Lowered:
     msg: Callable[[Column], Column]
     #: value-independent bare message, when one exists (leaf "must be X")
     static_msg: Optional[str] = None
-
-
-def _empty_violations() -> Column:
-    return F.lit(None).cast(VIOLATION_TYPE)  # replaced by array() below
 
 
 def _no_violations() -> Column:
@@ -186,9 +177,6 @@ def _leaf(
 # ---------------------------------------------------------------------------
 # static type conformance
 # ---------------------------------------------------------------------------
-
-_PY_EQUIV: List[Tuple[type, type]] = []
-
 
 def _python_class_for(dtype: T.DataType) -> type:
     import datetime

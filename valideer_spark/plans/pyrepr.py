@@ -60,8 +60,10 @@ def _repr_string(col: Column) -> Column:
 
 def _repr_float(col: Column) -> Column:
     # Python repr(2.0) == '2.0'; JVM double→string agrees for ordinary
-    # magnitudes (no exponent). Integral doubles render with trailing .0 on
-    # both sides.
+    # magnitudes (no exponent). Known limitation: outside ~[1e-3, 1e7) the
+    # JVM renders scientific notation ('1.0E-4') where Python writes
+    # '0.0001' — violation-row *messages* for such floats differ from the
+    # kernel; verdicts and adapted values are unaffected.
     return col.cast("string")
 
 
