@@ -89,3 +89,24 @@ def test_quantile_drift(spark):
     rows = quantile_drift(a, b, "v", probs=[0.5]).collect()
     assert len(rows) == 1
     assert rows[0]["abs_diff"] == pytest.approx(50.0, abs=2.0)
+
+
+def test_domain_diff(spark):
+    from valideer_spark.operators import domain_diff
+
+    a = spark.createDataFrame([("x",), ("y",), (None,)], "v string")
+    b = spark.createDataFrame([("y",), ("z",)], "v string")
+    rows = {(r["value"], r["status"]) for r in domain_diff(a, b, "v").collect()}
+    assert rows == {("z", "added"), ("x", "removed")}
+
+
+def test_worst_partitions(spark):
+    from valideer_spark.engine import ValidationEngine
+    from valideer_spark.flagship import doc_schema
+    from valideer_spark.sources import synth_docs
+
+    report = ValidationEngine(doc_schema(), buckets=16).check(synth_docs(spark, 800))
+    worst = report.worst_partitions(3).collect()
+    assert len(worst) == 3
+    assert worst[0]["n_invalid"] >= worst[1]["n_invalid"] >= worst[2]["n_invalid"]
+    assert worst[0]["n_invalid"] > 0

@@ -85,6 +85,16 @@ class CheckReport:
             F.col("v.message").alias("message"),
         )
 
+    def worst_partitions(self, k: int = 10) -> DataFrame:
+        """Top-k partitions by invalid-doc count (TakeOrderedAndProject —
+        per-partition top-k + a k-row driver merge, no full sort)."""
+        return (
+            self.verdicts()
+            .withColumn("n_invalid", F.col("n_docs") - F.col("n_valid"))
+            .orderBy(F.desc("n_invalid"), F.asc("_part_id"))
+            .limit(k)
+        )
+
     def metrics(self) -> DataFrame:
         """Violation counts by constraint (map-side combinable agg)."""
         return (

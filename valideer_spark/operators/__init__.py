@@ -19,6 +19,7 @@ from .text import (
     token_count,
 )
 from .multimodal import extract_media_metadata, synth_media_payloads
+from .setops import domain_diff, domain_values
 
 __all__ = [
     "column_profile",
@@ -42,5 +43,7 @@ __all__ = [
     "text_stats",
     "token_count",
     "extract_media_metadata",
+    "domain_diff",
+    "domain_values",
     "synth_media_payloads",
 ]

@@ -582,3 +582,37 @@ ORDER BY "constraint"
 
 QUERIES["constraint_suite_docs"] = q_constraint_suite_docs
 ORACLES["constraint_suite_docs"] = ORACLE_CONSTRAINT_SUITE_DOCS
+
+
+def q_domain_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-vs-snapshot enum-domain comparison: order priorities seen
+    in even- vs odd-keyed orders (+ a seeded synthetic domain shift)."""
+    from .operators.setops import domain_diff
+
+    orders = load_table(spark, "orders", sf_dir)
+    snap_a = orders.filter(F.col("o_orderkey") % 2 == 0).select("o_orderpriority")
+    snap_b = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        # seeded shift: rename one domain value in snapshot B
+        F.when(F.col("o_orderpriority") == "1-URGENT", F.lit("0-CRITICAL"))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("o_orderpriority")
+    )
+    return domain_diff(snap_a, snap_b, "o_orderpriority").orderBy("status", "value")
+
+
+ORACLE_DOMAIN_DIFF_ORDERS = """
+WITH a AS (
+  SELECT DISTINCT o_orderpriority AS value FROM orders WHERE o_orderkey % 2 = 0
+), b AS (
+  SELECT DISTINCT CASE WHEN o_orderpriority = '1-URGENT' THEN '0-CRITICAL'
+                       ELSE o_orderpriority END AS value
+  FROM orders WHERE o_orderkey % 2 = 1
+)
+SELECT value, 'added' AS status FROM b WHERE value NOT IN (SELECT value FROM a)
+UNION ALL
+SELECT value, 'removed' FROM a WHERE value NOT IN (SELECT value FROM b)
+ORDER BY status, value
+"""
+
+QUERIES["domain_diff_orders"] = q_domain_diff_orders
+ORACLES["domain_diff_orders"] = ORACLE_DOMAIN_DIFF_ORDERS
