@@ -48,30 +48,25 @@ class CheckReport:
     id_col: str
     buckets: int = DEFAULT_BUCKETS
 
-    def _bad_with_violations(self) -> DataFrame:
-        """Two-pass scale path: the heavy violation-construction expressions
-        run only on the failing slice (the cheap predicate filters first)."""
-        bad = self.annotated.filter(~F.col("_valid")).drop("_valid")
-        return self.plan.check(
-            bad.drop("_part_id"), adapt=False, violations=True
-        ).withColumn(
-            "_part_id", deterministic_partition_id(F.col(self.id_col), self.buckets)
-        )
-
     def verdicts(self) -> DataFrame:
-        """Per-partition pass/fail + counts (one row per partition bucket)."""
+        """Per-partition pass/fail + counts (one row per partition bucket).
+
+        Single scan: the violation expressions are CASE-guarded behind the
+        predicate, so valid rows pay only the predicate (measured: the
+        combined projection costs the same as predicate-only)."""
         return (
             self.annotated.groupBy("_part_id")
             .agg(
                 F.count(F.lit(1)).alias("n_docs"),
                 F.sum(F.col("_valid").cast("long")).alias("n_valid"),
+                F.sum(F.size("_violations")).alias("n_violations"),
             )
             .withColumn("pass", F.col("n_valid") == F.col("n_docs"))
         )
 
     def violation_rows(self) -> DataFrame:
         """(doc_id, violation_index, path, constraint, message) rows."""
-        bad = self._bad_with_violations()
+        bad = self.annotated.filter(~F.col("_valid"))
         return bad.select(
             F.col(self.id_col),
             F.col("_part_id").alias("part_id"),
@@ -98,7 +93,7 @@ class CheckReport:
     def metrics(self) -> DataFrame:
         """Violation counts by constraint (map-side combinable agg)."""
         return (
-            self._bad_with_violations()
+            self.annotated.filter(~F.col("_valid"))
             .select(F.explode("_violations").alias("v"))
             .groupBy(F.col("v.constraint").alias("constraint"))
             .count()
@@ -106,7 +101,9 @@ class CheckReport:
 
     def adapted(self) -> DataFrame:
         """Adapted documents (valid rows only), schema = adapted row struct."""
-        base = self.annotated.filter(F.col("_valid")).drop("_part_id", "_valid")
+        base = self.annotated.filter(F.col("_valid")).drop(
+            "_part_id", "_valid", "_violations"
+        )
         row = self.plan.adapted_col(base)
         return base.select(row.alias("doc")).select("doc.*")
 
@@ -140,7 +137,7 @@ class ValidationEngine:
 
     def check(self, df: DataFrame, adapt: bool = False) -> CheckReport:
         plan = self.plan_for(df)
-        annotated = plan.check(df, adapt=adapt, violations=False).withColumn(
+        annotated = plan.check(df, adapt=adapt, violations=True).withColumn(
             "_part_id", deterministic_partition_id(F.col(self.id_col), self.buckets)
         )
         return CheckReport(
