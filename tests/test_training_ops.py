@@ -155,3 +155,33 @@ def test_multimodal_raise_stub(spark):
     meta = extract_media_metadata(payloads, decode_stub="raise")
     with pytest.raises(Exception, match="NotImplementedError|codecs"):
         meta.collect()
+
+
+def test_simhash_candidates_hamming(spark, docs_df):
+    from valideer_spark.operators import simhash_candidates
+
+    pairs = {
+        (r["a_id"], r["b_id"]): r["hamming"]
+        for r in simhash_candidates(docs_df, max_hamming=8).collect()
+    }
+    assert pairs.get((1, 4)) == 0          # identical docs
+    assert (1, 2) in pairs                 # one-word difference, small hamming
+    assert all(h <= 8 for h in pairs.values())
+
+
+def test_winnowing_fingerprints(spark, docs_df):
+    from valideer_spark.operators import winnowing_fingerprints
+
+    fp = {r["id"]: set(r["fingerprints"])
+          for r in winnowing_fingerprints(docs_df).collect()}
+    assert fp[1] == fp[4]                  # identical docs
+    assert fp[1] & fp[2]                   # shared fingerprints on overlap
+    assert not (fp[1] & fp[3])             # disjoint content
+    assert len(fp[6]) == 0                 # shorter than one k-gram → none
+
+    # fewer grams than the window → single min-hash fingerprint
+    small = spark.createDataFrame(
+        [(7, "six words make just two grams")], ["doc_id", "text"]
+    )
+    fp7 = winnowing_fingerprints(small).collect()[0]["fingerprints"]
+    assert len(fp7) == 1

@@ -8,7 +8,9 @@ from .dedup import (
     minhash_signatures,
     ngram_jaccard_pairs,
     simhash,
+    simhash_candidates,
     simhash_duplicates,
+    winnowing_fingerprints,
 )
 from .similarity import ann_lsh_topk, cosine_self_join_topk, cosine_topk
 from .text import (
@@ -33,6 +35,8 @@ __all__ = [
     "minhash_signatures",
     "ngram_jaccard_pairs",
     "simhash",
+    "simhash_candidates",
+    "winnowing_fingerprints",
     "simhash_duplicates",
     "ann_lsh_topk",
     "cosine_self_join_topk",

@@ -248,3 +248,104 @@ def simhash_duplicates(
              F.sort_array(F.collect_list("id")).alias("ids"))
         .filter(F.col("n_docs") >= 2)
     )
+
+
+def simhash_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bits: int = 64,
+) -> DataFrame:
+    """Near-duplicate pairs with hamming(simhash) <= max_hamming.
+
+    Pigeonhole banding: split the fingerprint into ``max_hamming + 1``
+    bit-bands — any pair within the hamming budget must agree exactly on
+    at least one band. Candidates come from a band-bucket self-join; the
+    exact hamming distance (bit_count of xor) verifies each candidate.
+    Shuffle key = (band index, band bits): near-uniform, no skew.
+    """
+    n_bands = max_hamming + 1
+    band_bits = bits // n_bands
+    sh = simhash(df, text_col, id_col, bits)
+
+    def band(col: Column, i: int) -> Column:
+        # logical right shift via shiftrightunsigned to avoid sign smear
+        return F.shiftrightunsigned(col, i * band_bits).bitwiseAND(
+            F.lit((1 << band_bits) - 1)
+        )
+
+    banded = sh.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        band(F.col("simhash"), i).alias("band_key"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "simhash", "b.band_idx", "b.band_key")
+
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("a_id"),
+            F.col("b.id").alias("b_id"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    kgram: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing (Schleimer et al.): per sliding window of ``window``
+    consecutive k-gram hashes, keep the window minimum — a position-robust
+    fingerprint set guaranteed to share hashes with any match of length
+    >= window + kgram - 1. Output: (id, fingerprints array<long>)."""
+    toks = F.split(normalized_text(F.col(text_col)), " ")
+    k = F.size(toks) - (kgram - 1)
+    grams = F.when(k <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda i: F.array_join(F.slice(toks, i + 1, kgram), " "),
+        )
+    )
+    staged = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(grams, lambda g: F.xxhash64(g)).alias("_h"),
+    )
+    n_windows = F.size("_h") - (window - 1)
+    window_mins = F.when(
+        n_windows <= 0,
+        F.when(F.size("_h") > 0, F.array(F.array_min("_h"))).otherwise(
+            F.array().cast("array<long>")
+        ),
+    ).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), n_windows - 1),
+                lambda i: F.array_min(F.slice(F.col("_h"), i + 1, window)),
+            )
+        )
+    )
+    return staged.select("id", window_mins.alias("fingerprints"))
