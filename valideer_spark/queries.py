@@ -616,3 +616,25 @@ ORDER BY status, value
 
 QUERIES["domain_diff_orders"] = q_domain_diff_orders
 ORACLES["domain_diff_orders"] = ORACLE_DOMAIN_DIFF_ORDERS
+
+
+def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-banded SimHash near-duplicate pairs (rows-only: xxhash64)."""
+    from .operators.dedup import simhash_candidates
+
+    df = _documents_with_dupes(spark, sf_dir)
+    return simhash_candidates(df, max_hamming=3).orderBy("a_id", "b_id")
+
+
+def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint counts per doc (rows-only: xxhash64)."""
+    from .operators.dedup import winnowing_fingerprints
+
+    docs = load_table(spark, "documents", sf_dir)
+    return winnowing_fingerprints(docs).select(
+        "id", F.size("fingerprints").alias("n_fingerprints")
+    ).orderBy("id")
+
+
+QUERIES["simhash_near_dups"] = q_simhash_near_dups
+QUERIES["winnowing_fingerprints"] = q_winnowing_fingerprints
