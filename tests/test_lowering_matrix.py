@@ -258,3 +258,28 @@ def test_adaptby_fallback(spark):
     df = spark.createDataFrame([(255,), (0,)], "x long")
     vals = [r.a for r in df.select(node.adapt(F.col("x")).alias("a")).collect()]
     assert vals == ["0xff", "0x0"]
+
+
+def test_date_and_datetime_types(spark):
+    import datetime as dt
+
+    run_case(spark, "date", T.DateType(),
+             [dt.date(2020, 1, 2), None])
+    # kernel: datetime IS a date (subclass) → "date" accepts timestamps
+    run_case(spark, "date", T.TimestampType(),
+             [dt.datetime(2020, 1, 2, 3, 4, 5), None],
+             check_messages=False)  # repr of datetime not JVM-rendered
+    run_case(spark, "datetime", T.TimestampType(),
+             [dt.datetime(2020, 1, 2, 3, 4, 5), None],
+             check_messages=False)
+    # DateType column can never satisfy "datetime" (date is not datetime)
+    run_case(spark, "datetime", T.DateType(),
+             [dt.date(2020, 1, 2)], check_messages=False)
+
+
+def test_anyof_date_datetime_on_timestamp(spark):
+    import datetime as dt
+
+    run_case(spark, V.AnyOf("date", "datetime"), T.TimestampType(),
+             [dt.datetime(2021, 6, 1, 12, 0, 0), None],
+             check_messages=False)
