@@ -107,3 +107,38 @@ def test_checkpoint_resume_skips_completed(spark, tmp_path):
     assert n_first == 16
     second = eng.run_with_checkpoint(docs, run_id="r2")
     assert second.count() == 0  # everything already checkpointed
+
+
+def test_engine_recompiles_for_different_schema(spark):
+    """Plan cache is keyed by frame schema — a second frame with different
+    columns must not reuse the first frame's lowered plan."""
+    import valideer_spark as V
+    from valideer_spark.engine import ValidationEngine
+
+    eng = ValidationEngine({"+doc_id": V.Pattern(r"k-\d+$"), "?v": "?integer"},
+                           buckets=8)
+    df1 = spark.createDataFrame([("k-1", 5), ("bad", 6)], "doc_id string, v long")
+    r1 = eng.check(df1).annotated.collect()
+    assert sorted(row._valid for row in r1) == [False, True]
+
+    df2 = spark.createDataFrame([("k-2", 5, "x")],
+                                "doc_id string, v long, extra string")
+    r2 = eng.check(df2).annotated.collect()  # recompile, no stale-plan crash
+    assert r2[0]._valid
+
+
+def test_engine_adapted_output(spark):
+    """adapted() returns only valid rows with adaptation applied
+    (Nullable default fill)."""
+    import valideer_spark as V
+    from valideer_spark.engine import ValidationEngine
+
+    eng = ValidationEngine(
+        {"+doc_id": V.Pattern(r"k-\d+$"), "?v": V.Nullable("integer", -1)},
+        buckets=8,
+    )
+    df = spark.createDataFrame(
+        [("k-1", None), ("k-2", 7), ("nope", 1)], "doc_id string, v long"
+    )
+    out = {r["doc_id"]: r["v"] for r in eng.check(df).adapted().collect()}
+    assert out == {"k-1": -1, "k-2": 7}  # invalid row excluded, default filled
