@@ -93,10 +93,13 @@ def test_cosine_topk_and_ann(spark):
     exact = [r["id"] for r in cosine_topk(df, query, k=5).collect()]
     assert exact[0] == 3 and 17 in exact[:2]
 
-    approx = [r["id"] for r in ann_lsh_topk(df, query, k=5, n_planes=4).collect()]
-    assert approx[0] == 3 and 17 in approx  # same bucket w.h.p. (seeded)
+    approx = [
+        r["id"]
+        for r in ann_lsh_topk(df, query, k=5, n_planes=4, n_bands=2).collect()
+    ]
+    assert approx[0] == 3 and 17 in approx  # same band key w.h.p. (seeded)
 
-    knn = cosine_self_join_topk(df, k=3, n_planes=3)
+    knn = cosine_self_join_topk(df, k=3, n_planes=4, n_bands=2)
     top_for_3 = [r["neighbor"] for r in knn.filter(F.col("id") == 3).collect()]
     assert 17 in top_for_3
 

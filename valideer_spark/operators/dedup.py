@@ -45,11 +45,19 @@ def normalized_text(col: Column) -> Column:
 
 
 def exact_duplicates(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_sample_ids: int = 100,
 ) -> DataFrame:
     """Groups of exact (normalized) duplicates → (content_key, n_docs,
     doc_ids). Group key is the 64-bit content hash, so the shuffle moves
-    only (hash, id) pairs, never the text."""
+    only (hash, id) pairs, never the text.
+
+    ``doc_ids`` is capped at ``max_sample_ids`` per group: a degenerate
+    corpus (every doc normalizing equal, e.g. all-empty texts) would
+    otherwise put every id into one unbounded reducer row; ``n_docs``
+    always carries the full count."""
     keyed = df.select(
         F.xxhash64(normalized_text(F.col(text_col))).alias("content_key"),
         F.col(id_col).alias("doc_id"),
@@ -58,7 +66,9 @@ def exact_duplicates(
         keyed.groupBy("content_key")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+            F.slice(
+                F.sort_array(F.collect_list("doc_id")), 1, max_sample_ids
+            ).alias("doc_ids"),
         )
         .filter(F.col("n_docs") >= 2)
     )
@@ -85,24 +95,42 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold_num: int = 1,
     threshold_den: int = 2,
+    max_shingle_df: int = 10000,
 ) -> DataFrame:
-    """Exact pairs with Jaccard(shingles) >= threshold_num/threshold_den.
+    """Exact pairs with Jaccard(shingles) >= threshold_num/threshold_den,
+    computed over NON-STOP shingles only.
 
     Inverted-index join: explode distinct shingles, self-join on the
     shingle hash, count common shingles per pair, compare with integer
     cross-multiplication (common * den >= num * (|A| + |B| - common)).
     Output: (a_id, b_id, n_common, n_a, n_b) with a_id < b_id.
+
+    ``max_shingle_df`` drops shingles whose document frequency exceeds the
+    cap BEFORE the self-join (from both the inverted index and the set
+    sizes, so Jaccard stays a well-defined set similarity over the kept
+    shingles). Without the cap one stop-shingle ("of the ...") appearing
+    in df documents produces O(df^2) join rows — quadratic in the hottest
+    bucket; with it, every join bucket is <= max_shingle_df rows by
+    construction. At 100 TB run this after MinHash candidate generation
+    (:func:`jaccard_verify_candidates`) rather than as a raw self-join.
     """
     base = df.select(
         F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("sh")
     ).filter(F.size("sh") > 0)
-    sizes = base.select("id", F.size("sh").alias("n_sh"))
     inv = base.select(
         "id", F.explode("sh").alias("shingle")
     ).select("id", F.xxhash64("shingle").alias("sid"))
+    # shingles are distinct per doc, so count(*) per sid IS the document
+    # frequency; the df filter shuffles on the same key as the self-join
+    # below (Catalyst/AQE reuses the exchange)
+    dfreq = inv.groupBy("sid").agg(F.count(F.lit(1)).alias("_df"))
+    kept = inv.join(dfreq.filter(F.col("_df") <= max_shingle_df), "sid").select(
+        "id", "sid"
+    )
+    sizes = kept.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
 
-    a = inv.alias("a")
-    b = inv.alias("b")
+    a = kept.alias("a")
+    b = kept.alias("b")
     common = (
         a.join(b, (F.col("a.sid") == F.col("b.sid")) & (F.col("a.id") < F.col("b.id")))
         .groupBy(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
@@ -115,6 +143,46 @@ def ngram_jaccard_pairs(
         F.col("n_common") * threshold_den
         >= threshold_num * (F.col("n_a") + F.col("n_b") - F.col("n_common"))
     ).select("a_id", "b_id", "n_common", "n_a", "n_b")
+
+
+def jaccard_verify_candidates(
+    df: DataFrame,
+    candidates: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+) -> DataFrame:
+    """Exact-Jaccard verification of a candidate-pair table (a_id, b_id)
+    — the 100 TB-scale path: candidate generation via
+    :func:`minhash_lsh_candidates` (bounded LSH buckets), then this linear
+    pass joins each side's shingle set in and intersects per pair.
+
+    Cost is O(|candidates| * avg shingle count): no self-join, no
+    quadratic bucket risk. Output matches :func:`ngram_jaccard_pairs`.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), n).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    cand = candidates.select("a_id", "b_id")
+    joined = (
+        cand.join(sh.select(F.col("id").alias("a_id"), F.col("sh").alias("sh_a")), "a_id")
+        .join(sh.select(F.col("id").alias("b_id"), F.col("sh").alias("sh_b")), "b_id")
+    )
+    n_common = F.size(F.array_intersect("sh_a", "sh_b"))
+    scored = joined.select(
+        "a_id",
+        "b_id",
+        n_common.alias("n_common"),
+        F.size("sh_a").alias("n_a"),
+        F.size("sh_b").alias("n_b"),
+    )
+    return scored.filter(
+        F.col("n_common") * threshold_den
+        >= threshold_num * (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    )
 
 
 def minhash_signatures(
@@ -228,24 +296,38 @@ def simhash(
     )
     fingerprint = F.lit(0).cast("long")
     for j in range(bits):
+        # only bit 63 needs the negative-literal trick (1 << 63 overflows a
+        # signed long); for bits < 64 the top bit value fits, and a negative
+        # literal would sign-extend through bit 63 and smear the upper bits
         fingerprint = fingerprint.bitwiseOR(
             F.when(
                 F.get(F.col("_tally"), j) > 0,
-                F.lit(1 << j if j < bits - 1 else -(1 << j)).cast("long"),
+                F.lit(-(1 << 63) if j == 63 else (1 << j)).cast("long"),
             ).otherwise(F.lit(0).cast("long"))
         )
     return staged.select("id", fingerprint.alias("simhash"))
 
 
 def simhash_duplicates(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_sample_ids: int = 100,
 ) -> DataFrame:
-    """Docs sharing an identical 64-bit SimHash (hamming-0 near-dups)."""
+    """Docs sharing an identical 64-bit SimHash (hamming-0 near-dups).
+
+    ``ids`` is a capped sample (see :func:`exact_duplicates` on why an
+    unbounded per-group ``collect_list`` is a scale hazard); ``n_docs``
+    is the full count."""
     sh = simhash(df, text_col, id_col)
     return (
         sh.groupBy("simhash")
-        .agg(F.count(F.lit(1)).alias("n_docs"),
-             F.sort_array(F.collect_list("id")).alias("ids"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.slice(F.sort_array(F.collect_list("id")), 1, max_sample_ids).alias(
+                "ids"
+            ),
+        )
         .filter(F.col("n_docs") >= 2)
     )
 

@@ -69,18 +69,60 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     return rng.normal(0.0, 1.0, (n_planes, dim))
 
 
-def lsh_bucket(
-    vec: Column, planes: np.ndarray
-) -> Column:
-    """Sign-bit bucket id (long) of a vector against fixed hyperplanes."""
-    bucket = F.lit(0).cast("long")
-    for j, plane in enumerate(planes):
-        p = F.array(*[F.lit(float(x)) for x in plane])
-        bit = F.when(dot(vec, p) >= 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(
-            F.lit(0).cast("long")
+def lsh_band_keys(vec: Column, planes: np.ndarray, n_bands: int) -> Column:
+    """``array<long>`` of per-band sign-bit keys for banded hyperplane LSH.
+
+    The planes matrix ships as ONE flat ``array<double>`` literal (plan
+    size O(planes), not planes*dim scalar literals — at 768-dim the old
+    per-scalar form bloated the plan by ~100 KB per operator). Band ``l``
+    folds the sign bits of planes [l*b, (l+1)*b) MSB-first (acc*2 + bit);
+    :func:`_query_band_keys` mirrors the fold driver-side.
+    """
+    n_planes, dim = planes.shape
+    assert n_planes % n_bands == 0
+    bits = n_planes // n_bands
+    flat = F.lit([float(x) for x in planes.ravel()])
+
+    def dot_plane(j: Column) -> Column:
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            F.lit(0.0),
+            lambda acc, i: acc
+            + F.element_at(vec, i + 1).cast("double")
+            * F.element_at(flat, j * dim + i + 1),
         )
-        bucket = bucket.bitwiseOR(bit)
-    return bucket
+
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda l: F.aggregate(
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            F.lit(0).cast("long"),
+            lambda acc, i: acc * 2
+            + F.when(dot_plane(l * bits + i) >= 0, F.lit(1)).otherwise(F.lit(0)),
+        ),
+    )
+
+
+def _query_band_keys(
+    query: Sequence[float], planes: np.ndarray, n_bands: int
+) -> List[int]:
+    """Driver-side twin of :func:`lsh_band_keys` for a single query vector."""
+    n_planes = planes.shape[0]
+    bits = n_planes // n_bands
+    signs = planes @ np.asarray(query, dtype=np.float64)
+    keys = []
+    for l in range(n_bands):
+        key = 0
+        for i in range(bits):
+            key = key * 2 + (1 if signs[l * bits + i] >= 0 else 0)
+        keys.append(key)
+    return keys
+
+
+def lsh_bucket(vec: Column, planes: np.ndarray) -> Column:
+    """Single sign-bit bucket id (long) against fixed hyperplanes —
+    one-band special case of :func:`lsh_band_keys`."""
+    return F.element_at(lsh_band_keys(vec, planes, 1), 1)
 
 
 def ann_lsh_topk(
@@ -89,27 +131,33 @@ def ann_lsh_topk(
     k: int = 10,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    n_planes: int = 8,
+    n_planes: int = 16,
+    n_bands: int = 4,
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate top-k: score only vectors whose LSH bucket is the
-    query's bucket or differs by one bit (multiprobe)."""
+    """Approximate top-k for one query via multi-table banded LSH.
+
+    L = ``n_bands`` independent band tables of ``n_planes/n_bands`` sign
+    bits each; a vector is a candidate if ANY of its band keys equals the
+    query's key for that band (OR-amplification — recall grows with L,
+    per-band selectivity stays 2^-bits). Candidates are scored exactly and
+    top-k returned. At 10^12 vectors the (band, key) pair is the table's
+    partition key, so a query touches L partitions, not the table.
+    """
     query = [float(x) for x in query]
     planes = _hyperplanes(len(query), n_planes, seed)
-    signs = planes @ np.asarray(query)
-    qbucket = 0
-    for j, s in enumerate(signs):
-        if s >= 0:
-            qbucket |= 1 << j
-    probe_buckets = [qbucket] + [qbucket ^ (1 << j) for j in range(n_planes)]
+    qkeys = _query_band_keys(query, planes, n_bands)
 
-    bucketed = df.select(
+    keyed = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
-        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+        lsh_band_keys(F.col(vec_col), planes, n_bands).alias("band_keys"),
     )
+    hit = F.lit(False)
+    for l, qk in enumerate(qkeys):
+        hit = hit | (F.element_at("band_keys", l + 1) == F.lit(qk))
     q = F.array(*[F.lit(x) for x in query])
-    candidates = bucketed.filter(F.col("bucket").isin(probe_buckets))
+    candidates = keyed.filter(hit)
     return (
         candidates.select("id", cosine(F.col("vec"), q).alias("score"))
         .orderBy(F.desc("score"), F.asc("id"))
@@ -122,30 +170,66 @@ def cosine_self_join_topk(
     k: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    n_planes: int = 6,
+    n_planes: int = 16,
+    n_bands: int = 4,
+    max_bucket: int = 10000,
     seed: int = 42,
 ) -> DataFrame:
-    """Per-vector approximate k nearest neighbors: pairs restricted to a
-    shared LSH bucket, ranked by exact cosine within the bucket join."""
+    """Per-vector approximate k nearest neighbors via banded LSH.
+
+    Multi-table banding (like :func:`minhash_lsh_candidates`): a pair is a
+    candidate when any band key matches. Buckets larger than
+    ``max_bucket`` are dropped before the self-join — a single hot sign
+    pattern (e.g. a dense near-zero cluster) would otherwise make the
+    within-bucket join quadratic; with the cap, join work is bounded by
+    n_buckets * max_bucket^2 regardless of skew. Candidates are
+    de-duplicated across bands, then scored exactly.
+    """
     from pyspark.sql.window import Window
 
-    planes_df = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
-    )
-    dim = len(planes_df.select("vec").first()["vec"])
+    src = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    dim = len(src.select("vec").first()["vec"])
     planes = _hyperplanes(dim, n_planes, seed)
-    b = planes_df.withColumn("bucket", lsh_bucket(F.col("vec"), planes))
-    lhs, rhs = b.alias("l"), b.alias("r")
-    pairs = lhs.join(
-        rhs,
-        (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.id") != F.col("r.id")),
-    ).select(
-        F.col("l.id").alias("id"),
-        F.col("r.id").alias("neighbor"),
-        cosine(F.col("l.vec"), F.col("r.vec")).alias("score"),
+    keyed = src.select(
+        "id",
+        "vec",
+        F.posexplode(lsh_band_keys(F.col("vec"), planes, n_bands)).alias(
+            "band_idx", "band_key"
+        ),
     )
+    counts = keyed.groupBy("band_idx", "band_key").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    bounded = keyed.join(
+        counts.filter(F.col("_n") <= max_bucket), ["band_idx", "band_key"]
+    ).select("id", "band_idx", "band_key")
+    lhs, rhs = bounded.alias("l"), bounded.alias("r")
+    cand = (
+        lhs.join(
+            rhs,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("a_id"), F.col("r.id").alias("b_id"))
+        .distinct()
+    )
+    va = src.select(F.col("id").alias("a_id"), F.col("vec").alias("vec_a"))
+    vb = src.select(F.col("id").alias("b_id"), F.col("vec").alias("vec_b"))
+    scored = (
+        cand.join(va, "a_id")
+        .join(vb, "b_id")
+        .select(
+            "a_id", "b_id", cosine(F.col("vec_a"), F.col("vec_b")).alias("score")
+        )
+    )
+    # symmetrize so every vector ranks its neighbors
+    sym = scored.unionAll(
+        scored.select(
+            F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"), "score"
+        )
+    ).select(F.col("a_id").alias("id"), F.col("b_id").alias("neighbor"), "score")
     w = Window.partitionBy("id").orderBy(F.desc("score"), F.asc("neighbor"))
-    return pairs.withColumn("rank", F.row_number().over(w)).filter(
+    return sym.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )

@@ -155,19 +155,23 @@ _PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 def q_lineitem_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir)
     prof = column_profile(li, _PROFILE_COLS, approx_distinct=False)
+    # min/max as decimal STRINGS on both sides: computed floats are not
+    # value-hash-stable across engines (driver hash is stricter than a
+    # 9-digit rounding); TPC-H numeric columns are exact at 2 decimals.
     return prof.select(
         "column",
         "n_rows",
         "n_null",
-        F.col("min_value").cast("double").alias("min_value"),
-        F.col("max_value").cast("double").alias("max_value"),
+        F.col("min_value").cast("decimal(18,2)").cast("string").alias("min_value"),
+        F.col("max_value").cast("decimal(18,2)").cast("string").alias("max_value"),
     ).orderBy("column")
 
 
 ORACLE_LINEITEM_PROFILE = "\nUNION ALL\n".join(
     f"""SELECT '{c}' AS "column", count(*) AS n_rows,
        sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_null,
-       CAST(min({c}) AS DOUBLE) AS min_value, CAST(max({c}) AS DOUBLE) AS max_value
+       CAST(CAST(min({c}) AS DECIMAL(18,2)) AS VARCHAR) AS min_value,
+       CAST(CAST(max({c}) AS DECIMAL(18,2)) AS VARCHAR) AS max_value
        FROM lineitem"""
     for c in _PROFILE_COLS
 ) + "\nORDER BY \"column\""
@@ -311,17 +315,23 @@ GROUP BY 1 HAVING count(*) >= 2 ORDER BY content
 """
 
 
+# shingle document-frequency cap used by the gate query AND its oracle:
+# stop-shingles in more than this many docs are dropped before the
+# self-join (bounds every join bucket; see operators.dedup docstring)
+_JACCARD_MAX_DF = 20
+
+
 def q_jaccard_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import ngram_jaccard_pairs
 
     df = _documents_with_dupes(spark, sf_dir)
     return ngram_jaccard_pairs(
-        df, "text", "doc_id", n=3, threshold_num=1, threshold_den=2
+        df, "text", "doc_id", n=3, threshold_num=1, threshold_den=2,
+        max_shingle_df=_JACCARD_MAX_DF,
     ).orderBy("a_id", "b_id")
 
 
-ORACLE_JACCARD_PAIRS_DOCUMENTS = f"""
-WITH {_DOCS_DUPES_SQL},
+_JACCARD_SHINGLE_CTES = f"""
 toks AS (
   SELECT doc_id, string_split({_NORM_SQL.format(col='text')}, ' ') AS t
   FROM docs_with_dupes
@@ -330,10 +340,53 @@ toks AS (
     list_distinct(list_transform(range(0, greatest(len(t) - 2, 0)),
                   j -> array_to_string(t[j+1:j+3], ' '))) AS shingles
   FROM toks
-), sized AS (
-  SELECT doc_id, len(shingles) AS n_sh FROM sh WHERE len(shingles) > 0
 ), inv AS (
   SELECT doc_id, unnest(shingles) AS shingle FROM sh WHERE len(shingles) > 0
+)"""
+
+ORACLE_JACCARD_PAIRS_DOCUMENTS = f"""
+WITH {_DOCS_DUPES_SQL},
+{_JACCARD_SHINGLE_CTES},
+dfreq AS (
+  SELECT shingle FROM inv GROUP BY shingle HAVING count(*) <= {_JACCARD_MAX_DF}
+), kept AS (
+  SELECT i.doc_id, i.shingle FROM inv i JOIN dfreq d USING (shingle)
+), sized AS (
+  SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_common
+  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT p.a_id, p.b_id, p.n_common, sa.n_sh AS n_a, sb.n_sh AS n_b
+FROM pairs p
+JOIN sized sa ON sa.doc_id = p.a_id
+JOIN sized sb ON sb.doc_id = p.b_id
+WHERE p.n_common * 2 >= 1 * (sa.n_sh + sb.n_sh - p.n_common)
+ORDER BY a_id, b_id
+"""
+
+
+def q_minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB dedup path end-to-end: MinHash banded-LSH candidate
+    generation + linear exact-Jaccard verification, gated against a full
+    DuckDB oracle. Threshold 1/1 (identical shingle sets) makes LSH recall
+    exact, not probabilistic: identical sets => identical signatures =>
+    every band agrees => guaranteed candidate."""
+    from .operators.dedup import jaccard_verify_candidates, minhash_lsh_candidates
+
+    df = _documents_with_dupes(spark, sf_dir)
+    cand = minhash_lsh_candidates(df, "text", "doc_id")
+    return jaccard_verify_candidates(
+        df, cand, "text", "doc_id", n=3, threshold_num=1, threshold_den=1
+    ).orderBy("a_id", "b_id")
+
+
+ORACLE_MINHASH_VERIFIED_PAIRS = f"""
+WITH {_DOCS_DUPES_SQL},
+{_JACCARD_SHINGLE_CTES},
+sized AS (
+  SELECT doc_id, count(*) AS n_sh FROM inv GROUP BY doc_id
 ), pairs AS (
   SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_common
   FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -343,7 +396,7 @@ SELECT p.a_id, p.b_id, p.n_common, sa.n_sh AS n_a, sb.n_sh AS n_b
 FROM pairs p
 JOIN sized sa ON sa.doc_id = p.a_id
 JOIN sized sb ON sb.doc_id = p.b_id
-WHERE p.n_common * 2 >= 1 * (sa.n_sh + sb.n_sh - p.n_common)
+WHERE p.n_common >= sa.n_sh + sb.n_sh - p.n_common
 ORDER BY a_id, b_id
 """
 
@@ -380,10 +433,11 @@ WITH toks AS (
   FROM documents
 )
 SELECT doc_id,
-  len(t) AS n_tokens,
-  len(t)
+  CAST(len(t) AS BIGINT) AS n_tokens,
+  CAST(len(t)
     + length(regexp_replace(text, '[^\\.,;:!?]', '', 'g'))
-    + list_sum(list_transform(t, x -> CASE WHEN length(x) > 6 THEN length(x) // 6 ELSE 0 END)) AS n_subwords
+    + list_sum(list_transform(t, x -> CASE WHEN length(x) > 6 THEN length(x) // 6 ELSE 0 END))
+    AS BIGINT) AS n_subwords
 FROM toks ORDER BY doc_id
 """
 
@@ -467,22 +521,44 @@ def q_simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import simhash_duplicates
 
     df = _documents_with_dupes(spark, sf_dir)
+    # scalar columns only: the driver canonicalizer cannot sort list cells
     return simhash_duplicates(df).select(
-        "simhash", "n_docs", F.col("ids").cast("array<string>").alias("ids")
+        "simhash",
+        "n_docs",
+        F.array_join(F.col("ids").cast("array<string>"), ",").alias("ids"),
     ).orderBy("simhash")
 
 
 def q_ann_lsh_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.similarity import ann_lsh_topk
+    """Recall gate for banded-LSH ANN: the ANN top-20 must contain >= 18
+    of the exact top-20 (whose own oracle is green in
+    cosine_topk_embeddings). Seeded hyperplanes + fixed data make the
+    outcome deterministic; the oracle asserts the claimed recall holds.
+    16 planes / 8 bands is calibrated for this unstructured corpus (top
+    cosine ~0.37); structured corpora with real near-dups take more bits
+    per band for selectivity."""
+    from .operators.similarity import ann_lsh_topk, cosine_topk
 
     embs = load_table(spark, "embeddings", sf_dir)
     query = embs.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    return ann_lsh_topk(
-        embs.filter(F.col("vec_id") != 0), query, k=10, n_planes=6
-    ).select("id")
+    base = embs.filter(F.col("vec_id") != 0)
+    exact = cosine_topk(base, query, k=20).select("id")
+    ann = ann_lsh_topk(base, query, k=20, n_planes=16, n_bands=8).select("id")
+    return ann.join(exact, "id").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    ).select(
+        F.lit(20).alias("k"),
+        (F.col("n_hits") >= 18).alias("recall_ok"),
+    )
+
+
+ORACLE_ANN_LSH_EMBEDDINGS = "SELECT 20 AS k, TRUE AS recall_ok"
 
 
 def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gates the binary-column mapInPandas round-trip: payloads are a
+    deterministic function of (media_ref, media_kind), so the decoded
+    n_bytes aggregate is reproducible in SQL from the docs table."""
     from .operators.multimodal import extract_media_metadata, synth_media_payloads
 
     docs = _docs(spark)
@@ -494,6 +570,18 @@ def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ORACLE_MEDIA_METADATA = _docs_cte() + """
+, media AS (
+  SELECT DISTINCT s.media_ref AS media_ref, s.kind AS media_kind
+  FROM (SELECT unnest(spans) AS s FROM docs)
+  WHERE s.media_ref IS NOT NULL
+)
+SELECT media_kind, count(*) AS n,
+  sum(length('payload:' || media_ref || ':' || repeat(media_kind, 8))) AS total_bytes
+FROM media GROUP BY media_kind ORDER BY media_kind
+"""
+
+
 def q_drift_documents_nchars(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.drift import quantile_drift
 
@@ -503,10 +591,48 @@ def q_drift_documents_nchars(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantile_drift(a, b, "n_chars")
 
 
+_DRIFT_PROBS = [0.01, 0.25, 0.5, 0.75, 0.99]
+
+
+def q_drift_documents_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-percentile drift (F.percentile == DuckDB quantile_cont, both
+    linear interpolation at rank (n-1)*q) — the fully-oracled twin of the
+    GK-sketch drift query; outputs decimal strings for hash stability."""
+    docs = load_table(spark, "documents", sf_dir)
+
+    def side(pred, name):
+        return docs.filter(pred).agg(
+            F.percentile("n_chars", F.lit(_DRIFT_PROBS)).alias(name)
+        )
+
+    joined = side(F.col("doc_id") % 2 == 0, "qa").crossJoin(
+        side(F.col("doc_id") % 2 == 1, "qb")
+    )
+    z = F.arrays_zip(
+        F.lit([str(p) for p in _DRIFT_PROBS]).alias("prob"),
+        F.col("qa").alias("q_a"),
+        F.col("qb").alias("q_b"),
+    )
+    return joined.select(F.explode(z).alias("z")).select(
+        F.col("z.prob").alias("prob"),
+        F.col("z.q_a").cast("decimal(18,4)").cast("string").alias("q_a"),
+        F.col("z.q_b").cast("decimal(18,4)").cast("string").alias("q_b"),
+    ).orderBy("prob")
+
+
+ORACLE_DRIFT_DOCUMENTS_EXACT = "\nUNION ALL\n".join(
+    f"""SELECT '{p}' AS prob,
+      CAST(CAST((SELECT quantile_cont(n_chars, {p}) FROM documents WHERE doc_id % 2 = 0) AS DECIMAL(18,4)) AS VARCHAR) AS q_a,
+      CAST(CAST((SELECT quantile_cont(n_chars, {p}) FROM documents WHERE doc_id % 2 = 1) AS DECIMAL(18,4)) AS VARCHAR) AS q_b"""
+    for p in _DRIFT_PROBS
+) + "\nORDER BY prob"
+
+
 QUERIES.update(
     {
         "dedup_exact_documents": q_dedup_exact_documents,
         "jaccard_pairs_documents": q_jaccard_pairs_documents,
+        "minhash_verified_pairs": q_minhash_verified_pairs,
         "text_stats_documents": q_text_stats_documents,
         "token_count_documents": q_token_count_documents,
         "language_guess_documents": q_language_guess_documents,
@@ -516,6 +642,7 @@ QUERIES.update(
         "ann_lsh_embeddings": q_ann_lsh_embeddings,
         "media_metadata": q_media_metadata,
         "drift_documents_nchars": q_drift_documents_nchars,
+        "drift_documents_exact": q_drift_documents_exact,
     }
 )
 
@@ -523,14 +650,20 @@ ORACLES.update(
     {
         "dedup_exact_documents": ORACLE_DEDUP_EXACT_DOCUMENTS,
         "jaccard_pairs_documents": ORACLE_JACCARD_PAIRS_DOCUMENTS,
+        "minhash_verified_pairs": ORACLE_MINHASH_VERIFIED_PAIRS,
         "text_stats_documents": ORACLE_TEXT_STATS_DOCUMENTS,
         "token_count_documents": ORACLE_TOKEN_COUNT_DOCUMENTS,
         "language_guess_documents": _lang_oracle(),
         "cosine_topk_embeddings": ORACLE_COSINE_TOPK_EMBEDDINGS,
-        # minhash_lsh / simhash / ann_lsh: xxhash64 + seeded hyperplanes are
-        # Spark-side constructs → rows-only checks
-        # media_metadata: mapInPandas decode stub → rows-only
-        # drift_documents_nchars: approximate percentile sketch → rows-only
+        "ann_lsh_embeddings": ORACLE_ANN_LSH_EMBEDDINGS,
+        "media_metadata": ORACLE_MEDIA_METADATA,
+        "drift_documents_exact": ORACLE_DRIFT_DOCUMENTS_EXACT,
+        # minhash_lsh_documents / simhash_documents: raw candidate sets are
+        # xxhash64-seeded (Spark-specific) → rows-only; their *semantics*
+        # are gated by minhash_verified_pairs (full oracle) and
+        # simhash_seeded_recall (seeded-pair recall oracle)
+        # drift_documents_nchars: approximate GK sketch → rows-only; the
+        # exact twin drift_documents_exact carries the oracle
     }
 )
 
@@ -626,15 +759,90 @@ def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_candidates(df, max_hamming=3).orderBy("a_id", "b_id")
 
 
+def q_simhash_seeded_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall oracle for pigeonhole-banded SimHash: the seeded exact
+    duplicates (doc_id + 1000000, identical text) have hamming distance 0,
+    so banding MUST surface every one of them — DuckDB enumerates the
+    expected pairs from the base table. b_id - a_id = 1000000 identifies
+    exactly the seeded pairs (base ids < 1000000, dup ids >= 1000000)."""
+    from .operators.dedup import simhash_candidates
+
+    df = _documents_with_dupes(spark, sf_dir)
+    pairs = simhash_candidates(df, max_hamming=3)
+    return pairs.filter(F.col("b_id") == F.col("a_id") + 1000000).select(
+        "a_id", "b_id", "hamming"
+    ).orderBy("a_id")
+
+
+ORACLE_SIMHASH_SEEDED_RECALL = """
+SELECT doc_id AS a_id, doc_id + 1000000 AS b_id, 0 AS hamming
+FROM documents WHERE doc_id % 10 = 0 ORDER BY a_id
+"""
+
+
 def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing fingerprint counts per doc (rows-only: xxhash64)."""
-    from .operators.dedup import winnowing_fingerprints
+    """Winnowing invariant gate: n_grams (recomputed from text, checked
+    against DuckDB's identical tokenization) plus the Schleimer bounds on
+    the fingerprint-set size, evaluated Spark-side:
+    n_grams=0 -> 0 fingerprints; 1..window-1 grams -> exactly 1;
+    else 1 <= n_fp <= n_grams - window + 1 (distinct window minima)."""
+    from .operators.dedup import normalized_text, winnowing_fingerprints
 
     docs = load_table(spark, "documents", sf_dir)
-    return winnowing_fingerprints(docs).select(
-        "id", F.size("fingerprints").alias("n_fingerprints")
+    fp = winnowing_fingerprints(docs, kgram=5, window=4).select(
+        "id", F.size("fingerprints").alias("n_fp")
+    )
+    stats = docs.select(
+        F.col("doc_id").alias("id"),
+        F.greatest(
+            F.size(F.split(normalized_text(F.col("text")), " ")) - 4, F.lit(0)
+        ).alias("n_grams"),
+    )
+    joined = fp.join(stats, "id")
+    within = (
+        F.when(F.col("n_grams") == 0, F.col("n_fp") == 0)
+        .when(F.col("n_grams") <= 3, F.col("n_fp") == 1)
+        .otherwise(
+            (F.col("n_fp") >= 1) & (F.col("n_fp") <= F.col("n_grams") - 3)
+        )
+    )
+    return joined.select(
+        "id", "n_grams", within.alias("within_bounds")
     ).orderBy("id")
 
 
+ORACLE_WINNOWING_FINGERPRINTS = f"""
+SELECT doc_id AS id,
+  greatest(len(string_split({_NORM_SQL.format(col='text')}, ' ')) - 4, 0) AS n_grams,
+  TRUE AS within_bounds
+FROM documents ORDER BY id
+"""
+
+
+def q_partition_verdict_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-checks the per-partition rollup against document-level truth:
+    summing the partition verdicts must reproduce the global doc/valid
+    counts, which DuckDB recomputes from flagship validation semantics."""
+    report = ValidationEngine(doc_schema(), buckets=64).check(_docs(spark))
+    return report.verdicts().agg(
+        F.sum("n_docs").alias("n_docs"), F.sum("n_valid").alias("n_valid")
+    )
+
+
+ORACLE_PARTITION_VERDICT_TOTALS = _docs_cte() + f"""
+SELECT count(*) AS n_docs,
+  sum(CASE WHEN (regexp_full_match(doc_id, 'doc-\\d{{12}}')
+       AND len(spans) >= 1
+       AND coalesce(list_aggregate(list_transform(spans, s -> {_SPAN_OK}), 'bool_and'), TRUE))
+      THEN 1 ELSE 0 END) AS n_valid
+FROM docs
+"""
+
+
 QUERIES["simhash_near_dups"] = q_simhash_near_dups
+QUERIES["simhash_seeded_recall"] = q_simhash_seeded_recall
 QUERIES["winnowing_fingerprints"] = q_winnowing_fingerprints
+QUERIES["partition_verdict_totals"] = q_partition_verdict_totals
+ORACLES["simhash_seeded_recall"] = ORACLE_SIMHASH_SEEDED_RECALL
+ORACLES["winnowing_fingerprints"] = ORACLE_WINNOWING_FINGERPRINTS
+ORACLES["partition_verdict_totals"] = ORACLE_PARTITION_VERDICT_TOTALS
