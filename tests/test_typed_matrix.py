@@ -1,0 +1,94 @@
+"""Typed-matrix table (sources/typed.py): engine verdicts vs the row
+kernel, per-class violation routing, and adapted outputs.
+
+The driver gate (queries typed_matrix_*) cross-checks the same table
+against DuckDB; this test pins the kernel parity side and the class
+bookkeeping so regressions localize without running the gate.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from valideer_spark.engine import ValidationEngine
+from valideer_spark.sources.typed import typed_rows, typed_schema
+
+N = 1010  # 10 full residue cycles of 101
+
+
+@pytest.fixture(scope="module")
+def report(spark):
+    eng = ValidationEngine(typed_schema(), id_col="rec_id")
+    return eng.check(typed_rows(spark, N), adapt=True)
+
+
+def test_verdict_counts(report):
+    rows = report.annotated.select("_valid").collect()
+    n_invalid = sum(1 for r in rows if not r["_valid"])
+    # residues 1..15 mod 101 → exactly 15 invalid rows per 101-cycle
+    assert n_invalid == 15 * (N // 101)
+
+
+def test_constraint_classes(report):
+    got = {
+        (r["constraint"], r["path"]): r["count"]
+        for r in report.annotated.filter(~F.col("_valid"))
+        .select(F.try_element_at("_violations", F.lit(1)).alias("v"))
+        .groupBy(F.col("v.constraint").alias("constraint"), F.col("v.path").alias("path"))
+        .count()
+        .collect()
+    }
+    per_class = N // 101
+    expected = {
+        ("string.min_length", "name"), ("string.max_length", "name"),
+        ("range.min", "age"), ("range.max", "age"),
+        ("enum", "status"), ("pattern", "email"),
+        ("object.required", ""), ("range.min", "tags['neg']"),
+        ("range.min", "pair[1]"), ("pattern", "codes[0]"),
+        ("sequence.min_length", "codes"), ("adapt_to:int", "raw_num"),
+        ("range.min", "raw_num"), ("any_of", "maybe_num"),
+        ("range.max", "level"),
+    }
+    assert set(got) == expected
+    assert all(v == per_class for v in got.values())
+
+
+def test_kernel_parity_sample(report, spark):
+    """Row kernel re-validates a slice of the typed table; verdicts must
+    match the lowered plan exactly (same semantics, two execution paths)."""
+    from valideer_spark.core import ValidationError
+
+    schema = typed_schema()
+    sample = report.annotated.filter(F.col("rec_id") < "rec-00000303").collect()
+    assert len(sample) == 303
+    for row in sample:
+        doc = {}
+        for name in ("rec_id", "name", "age", "status", "email", "flag",
+                     "born", "when_t", "ratio", "nick", "raw_num",
+                     "maybe_num", "level"):
+            v = row[name]
+            if v is not None:
+                doc[name] = v
+        doc["tags"] = dict(row["tags"])
+        doc["pair"] = [row["pair"]["label"], row["pair"]["weight"]]
+        doc["codes"] = list(row["codes"])
+        try:
+            schema.validate(doc, adapt=False)
+            kernel_valid = True
+        except ValidationError:
+            kernel_valid = False
+        assert kernel_valid == row["_valid"], row["rec_id"]
+
+
+def test_adapted_defaults(report):
+    adapted = {
+        r["rec_id"]: r
+        for r in report.annotated.filter(F.col("_valid"))
+        .select("rec_id", F.col("_adapted.nick").alias("nick"),
+                F.col("_adapted.raw_num").alias("raw_num"))
+        .collect()
+    }
+    # i % 7 == 0 rows had NULL nick → default fills
+    assert adapted["rec-00000000"]["nick"] == "anon"
+    assert adapted["rec-00000016"]["nick"] == "nick16"
+    # AdaptTo(int) coerced the digit string
+    assert adapted["rec-00000016"]["raw_num"] == 16

@@ -846,3 +846,243 @@ QUERIES["partition_verdict_totals"] = q_partition_verdict_totals
 ORACLES["simhash_seeded_recall"] = ORACLE_SIMHASH_SEEDED_RECALL
 ORACLES["winnowing_fingerprints"] = ORACLE_WINNOWING_FINGERPRINTS
 ORACLES["partition_verdict_totals"] = ORACLE_PARTITION_VERDICT_TOTALS
+
+
+# ---------------------------------------------------------------------------
+# M2 typed-matrix gate: every §2.1–2.4 validator family under the oracle
+# (mirrors the reference flagship complex validator,
+#  /root/reference/valideer/tests/test_validators.py:33-45)
+# ---------------------------------------------------------------------------
+
+TYPED_N_ROWS = 4000
+
+
+def _typed(spark: SparkSession) -> DataFrame:
+    from .sources.typed import typed_rows
+
+    return typed_rows(spark, TYPED_N_ROWS)
+
+
+def _typed_cte() -> str:
+    from .sources.typed import typed_rows_sql
+
+    return "WITH typed AS (%s)" % typed_rows_sql(TYPED_N_ROWS)
+
+
+def _kernel_msg(validator, value) -> str:
+    """Exact first-violation message the row kernel produces for ``value``
+    — the oracle embeds these as literals. Built at oracle-construction
+    time IN-PROCESS because Enum messages embed Python set iteration order
+    (PYTHONHASHSEED-dependent, stable only within one process; the driver
+    builds oracle_sql() and runs queries() in the same process)."""
+    from .core import ValidationError
+
+    try:
+        validator.validate(value)
+    except ValidationError as e:
+        return str(e)
+    raise AssertionError("typed-matrix oracle: expected %r to be invalid" % (value,))
+
+
+def _sq(s: str) -> str:
+    """SQL single-quote escape (DuckDB standard strings: no backslash
+    processing, so only quotes need doubling)."""
+    return s.replace("'", "''")
+
+
+def _typed_expected() -> list:
+    """(class residue, path, constraint, kernel message) per violation
+    class — the message literals are recomputed from the row kernel."""
+    from . import core as V
+    from .sources.typed import CODE_PATTERN, EMAIL_PATTERN, NUM_PATTERN, STATUSES
+
+    chain = V.ChainOf(V.AdaptTo(int), V.Range("integer", min_value=0))
+    return [
+        (1, "name", "string.min_length",
+         _kernel_msg(V.String(min_length=3, max_length=12), "ab")),
+        (2, "name", "string.max_length",
+         _kernel_msg(V.String(min_length=3, max_length=12), "abcdefghijklm")),
+        (3, "age", "range.min",
+         _kernel_msg(V.Range("integer", min_value=0, max_value=150), -5)),
+        (4, "age", "range.max",
+         _kernel_msg(V.Range("integer", min_value=0, max_value=150), 200)),
+        (5, "status", "enum", _kernel_msg(V.Enum(STATUSES), "deleted")),
+        (6, "email", "pattern", _kernel_msg(V.Pattern(EMAIL_PATTERN), "bad-email")),
+        (7, "", "object.required", None),  # row-repr message: separate gate
+        (8, "tags['neg']", "range.min",
+         _kernel_msg(V.Range("integer", min_value=0), -3)),
+        (9, "pair[1]", "range.min",
+         _kernel_msg(V.Range("integer", min_value=1), 0)),
+        (10, "codes[0]", "pattern", _kernel_msg(V.Pattern(CODE_PATTERN), "x-abc")),
+        (11, "codes", "sequence.min_length",
+         _kernel_msg(V.HomogeneousSequence(V.Pattern(CODE_PATTERN), min_length=1), [])),
+        (12, "raw_num", "adapt_to:int", _kernel_msg(chain, "abc")),
+        (13, "raw_num", "range.min", _kernel_msg(chain, "-7")),
+        (14, "maybe_num", "any_of",
+         _kernel_msg(V.AnyOf(V.Pattern(NUM_PATTERN), V.Enum(["N/A"])), "??")),
+        (15, "level", "range.max",
+         _kernel_msg(V.AllOf("integer", V.Range("integer", min_value=1, max_value=5)), 9)),
+    ]
+
+
+# validity recomputed from the REBUILT VALUES (not the class residue):
+# a generator or engine bug on "clean" rows surfaces as a verdict mismatch
+_TYPED_VALID_SQL = r"""(
+  length(name) BETWEEN 3 AND 12
+  AND age BETWEEN 0 AND 150
+  AND status IN ('active', 'inactive', 'banned')
+  AND regexp_full_match(email, '[a-z][a-z0-9]*@[a-z]+\.[a-z]{2,3}')
+  AND flag IS NOT NULL
+  AND len(list_filter(map_values(tags), v -> v < 0)) = 0
+  AND pair.weight >= 1
+  AND len(codes) >= 1
+  AND len(list_filter(codes, c -> NOT regexp_full_match(c, 'c-\d{3}'))) = 0
+  AND TRY_CAST(raw_num AS BIGINT) IS NOT NULL
+  AND TRY_CAST(raw_num AS BIGINT) >= 0
+  AND (regexp_full_match(maybe_num, '\d+') OR maybe_num = 'N/A')
+  AND level BETWEEN 1 AND 5
+)"""
+
+
+def q_typed_matrix_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row verdict + first-violation (path, constraint) over the
+    typed-matrix table — every M2 validator family in one lowered plan."""
+    from .sources.typed import typed_schema
+
+    report = ValidationEngine(typed_schema(), id_col="rec_id").check(_typed(spark))
+    first = F.try_element_at("_violations", F.lit(1))
+    return report.annotated.select(
+        "rec_id",
+        F.col("_valid").alias("valid"),
+        first.getField("path").alias("path"),
+        first.getField("constraint").alias("constraint"),
+    )
+
+
+def _oracle_typed_matrix_verdicts() -> str:
+    path_case = "CASE cls %s END" % " ".join(
+        "WHEN %d THEN '%s'" % (c, _sq(path)) for c, path, _, _ in _typed_expected()
+    )
+    con_case = "CASE cls %s END" % " ".join(
+        "WHEN %d THEN '%s'" % (c, _sq(con)) for c, _, con, _ in _typed_expected()
+    )
+    return _typed_cte() + f"""
+SELECT rec_id,
+  {_TYPED_VALID_SQL} AS valid,
+  {path_case} AS path,
+  {con_case} AS "constraint"
+FROM typed
+"""
+
+
+def q_typed_matrix_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-exact first-violation MESSAGES for every property-level
+    violation class (path <> '' excludes object.required, whose message
+    embeds the full row repr — gated separately on a narrow frame by
+    typed_required_missing)."""
+    from .sources.typed import typed_schema
+
+    report = ValidationEngine(typed_schema(), id_col="rec_id").check(_typed(spark))
+    first = F.try_element_at("_violations", F.lit(1))
+    return (
+        report.annotated.filter(~F.col("_valid"))
+        .select(
+            "rec_id",
+            first.getField("path").alias("path"),
+            first.getField("message").alias("message"),
+        )
+        .filter(F.col("path") != "")
+        .orderBy("rec_id")
+    )
+
+
+def _oracle_typed_matrix_messages() -> str:
+    msg_case = "CASE cls %s END" % " ".join(
+        "WHEN %d THEN '%s'" % (c, _sq(msg))
+        for c, _, _, msg in _typed_expected()
+        if msg is not None
+    )
+    path_case = "CASE cls %s END" % " ".join(
+        "WHEN %d THEN '%s'" % (c, _sq(path))
+        for c, path, _, msg in _typed_expected()
+        if msg is not None
+    )
+    return _typed_cte() + f"""
+SELECT rec_id, {path_case} AS path, {msg_case} AS message
+FROM typed
+WHERE NOT {_TYPED_VALID_SQL} AND cls <> 7
+ORDER BY rec_id
+"""
+
+
+def q_typed_required_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """object.required message gate on a narrow (id, flag) frame, where
+    the reference's full-row-repr message is SQL-reproducible: NULL struct
+    fields are absent properties, so the repr shows only {'id': ...}."""
+    df = _typed(spark).select(F.col("rec_id").alias("id"), "flag")
+    report = ValidationEngine(
+        {"+id": "string", "+flag": "boolean"}, id_col="id"
+    ).check(df)
+    first = F.try_element_at("_violations", F.lit(1))
+    return (
+        report.annotated.filter(~F.col("_valid"))
+        .select(
+            "id",
+            first.getField("constraint").alias("constraint"),
+            first.getField("message").alias("message"),
+        )
+        .orderBy("id")
+    )
+
+
+ORACLE_TYPED_REQUIRED_MISSING = (
+    _typed_cte()
+    + """
+SELECT rec_id AS id,
+  'object.required' AS "constraint",
+  'Invalid value {''id'': ''' || rec_id
+    || '''} (dict): missing required properties: [''flag'']' AS message
+FROM typed WHERE cls = 7 ORDER BY id
+"""
+)
+
+
+def q_typed_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adapted outputs on valid rows: Nullable default fill (nick ->
+    'anon'), ChainOf(AdaptTo(int)) coercion (raw_num string -> long),
+    AnyOf first-match passthrough (maybe_num)."""
+    from .sources.typed import typed_schema
+
+    report = ValidationEngine(typed_schema(), id_col="rec_id").check(
+        _typed(spark), adapt=True
+    )
+    adapted = report.adapted()
+    return adapted.select(
+        "rec_id",
+        "nick",
+        F.col("raw_num").cast("long").alias("raw_num"),
+        "maybe_num",
+        "level",
+    ).orderBy("rec_id")
+
+
+def _oracle_typed_adapted() -> str:
+    return _typed_cte() + f"""
+SELECT rec_id,
+  coalesce(nick, 'anon') AS nick,
+  CAST(raw_num AS BIGINT) AS raw_num,
+  maybe_num,
+  level
+FROM typed WHERE {_TYPED_VALID_SQL}
+ORDER BY rec_id
+"""
+
+
+QUERIES["typed_matrix_verdicts"] = q_typed_matrix_verdicts
+QUERIES["typed_matrix_messages"] = q_typed_matrix_messages
+QUERIES["typed_required_missing"] = q_typed_required_missing
+QUERIES["typed_adapted"] = q_typed_adapted
+ORACLES["typed_matrix_verdicts"] = _oracle_typed_matrix_verdicts()
+ORACLES["typed_matrix_messages"] = _oracle_typed_matrix_messages()
+ORACLES["typed_required_missing"] = ORACLE_TYPED_REQUIRED_MISSING
+ORACLES["typed_adapted"] = _oracle_typed_adapted()
