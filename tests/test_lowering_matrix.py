@@ -283,3 +283,72 @@ def test_anyof_date_datetime_on_timestamp(spark):
     run_case(spark, V.AnyOf("date", "datetime"), T.TimestampType(),
              [dt.datetime(2021, 6, 1, 12, 0, 0), None],
              check_messages=False)
+
+
+# ---------------------------------------------------------------------------
+# round-2 regressions (ADVICE r1)
+# ---------------------------------------------------------------------------
+
+def test_enum_type_mismatch_on_string_column(spark):
+    """Enum([1,2]) on a string column: the kernel rejects '1' (1 != '1');
+    the naive isin lowering would ANSI-crash on 'x' and accept '1'."""
+    run_case(spark, V.Enum([1, 2]), T.StringType(),
+             ["1", "x", "", None], check_messages=False)
+    # mixed enum: only the string values can match a string column
+    run_case(spark, V.Enum(["a", 1]), T.StringType(),
+             ["a", "1", "b", None], check_messages=False)
+
+
+def test_enum_numeric_cross_type(spark):
+    # Python: 1 in {1.0} and True == 1 → numeric widening must match
+    run_case(spark, V.Enum([1.0, 2.0]), T.LongType(),
+             [1, 2, 3, None], check_messages=False)
+    run_case(spark, V.Enum([True]), T.LongType(),
+             [1, 0, 2, None], check_messages=False)
+    run_case(spark, V.Enum([1]), T.BooleanType(),
+             [True, False, None], check_messages=False)
+
+
+def test_bare_range_rejects_null_elements(spark):
+    """A bounded bare Range never accepts None (kernel raises TypeError);
+    NULL array elements must be reported invalid, not pass silently."""
+    from valideer_spark.plans import compile_plan
+
+    schema_t = T.StructType([T.StructField("xs", T.ArrayType(T.IntegerType()))])
+    df = spark.createDataFrame([([1, 2],), ([1, None],), ([-1],)], schema_t)
+    plan = compile_plan({"+xs": V.HomogeneousSequence(V.Range(min_value=0))}, df)
+    rows = {tuple(r["xs"]): r for r in plan.check(df, adapt=False).collect()}
+    assert rows[(1, 2)]["_valid"]
+    assert not rows[(1, None)]["_valid"]
+    assert rows[(1, None)]["_violations"][0]["path"] == "xs[1]"
+    assert not rows[(-1,)]["_valid"]
+
+
+def test_regex_screen_python_only_constructs(spark):
+    """Conditional groups and Python-only inline flags must take the
+    kernel-fallback path, not throw PatternSyntaxException mid-job."""
+    from valideer_spark.plans.lowering import translate_python_regex
+
+    assert translate_python_regex(r"(?(1)a|b)") is None
+    assert translate_python_regex(r"(?a)\w+$") is None
+    assert translate_python_regex(r"(?u)x") is None
+    assert translate_python_regex(r"(?i-u:x)") is None
+    # still-translatable patterns keep the native path
+    assert translate_python_regex(r"(?i)abc$") is not None
+    assert translate_python_regex(r"a(?:b)c") is not None
+    # end-to-end: conditional-group pattern validates via the kernel
+    run_case(spark, V.Pattern(r"(a)?(?(1)b|c)$"), T.StringType(),
+             ["ab", "c", "ac", None], check_messages=True)
+
+
+def test_simhash_small_bits_no_sign_smear(spark):
+    """bits<64 simhash stays within [0, 2^bits): the old -(1<<j) literal
+    sign-extended through bit 63 and inflated hamming distances."""
+    from valideer_spark.operators.dedup import simhash
+
+    df = spark.createDataFrame(
+        [(1, "hello world foo"), (2, "completely different text here")],
+        ["doc_id", "text"],
+    )
+    for r in simhash(df, bits=16).collect():
+        assert 0 <= r["simhash"] < (1 << 16), hex(r["simhash"])

@@ -235,12 +235,24 @@ def _type_checks(v: Validator, dtype: T.DataType, statically_ok: bool) -> List[_
 # regex dialect translation (Python re → Java)
 # ---------------------------------------------------------------------------
 
-_JAVA_INCOMPATIBLE = re.compile(r"\(\?P[<=]|\(\?#")
+# Python-only constructs Java regex rejects at compile time (rlike would
+# throw PatternSyntaxException mid-job): named groups/backrefs (?P<…/(?P=…,
+# comments (?#…, conditional groups (?(1)…, and inline flag groups carrying
+# the Python-only letters a/L/u — e.g. (?a), (?ai:…), (?i-u:…)
+_JAVA_INCOMPATIBLE = re.compile(
+    r"\(\?P[<=]"
+    r"|\(\?#"
+    r"|\(\?\("
+    r"|\(\?[aiLmsux]*[aLu][aiLmsux]*[:)]"
+    r"|\(\?[aiLmsux]*-[aiLmsux]*[aLu][aiLmsux]*[:)]"
+)
 
 
 def translate_python_regex(pattern: str) -> Optional[str]:
     """Translate a Python ``re`` pattern for Java ``rlike``, anchored at the
-    start only (``re.match`` semantics). Returns None if not translatable."""
+    start only (``re.match`` semantics). Returns None if not translatable
+    (the caller takes the kernel-fallback path instead of risking a
+    runtime PatternSyntaxException on the executors)."""
     if _JAVA_INCOMPATIBLE.search(pattern):
         return None
     # Python \Z (absolute end) == Java \z
@@ -382,6 +394,12 @@ def kernel_fallback(
                     return json.dumps(validator.validate(json.loads(x), adapt=True))
                 except ValidationError:
                     return None
+                except (TypeError, ValueError):
+                    # adaptor produced a non-JSON-representable value
+                    # (datetime/Decimal/...): nested fallback adaptation is
+                    # JSON-bounded by design — report NULL instead of
+                    # failing the whole job inside the UDF
+                    return None
 
             return s.map(one)
 
@@ -466,18 +484,54 @@ def _enum_literal_ok(value: Any) -> bool:
     return isinstance(value, (str, int, float, bool)) or value is None
 
 
+def _comparable_enum_values(values: list, dtype: T.DataType) -> Optional[list]:
+    """Project enum values onto the column's Python equality domain.
+
+    Python ``in`` compares with ``==``: numerics cross-match (1 == 1.0 ==
+    True), strings only match strings. Spark's ``isin`` instead inserts
+    implicit casts — in ANSI mode a string column against int literals
+    throws CAST_INVALID_INPUT at runtime, and castable strings like '1'
+    would wrongly match. So: keep values that CAN equal a column value
+    under Python semantics (mapped into the column's type family where
+    needed), drop values that never can (they contribute nothing to
+    membership), and return None when the projection is not expressible
+    (caller falls back to the kernel)."""
+    cls = _python_class_for(dtype)
+    kept: list = []
+    for x in values:
+        if cls is str:
+            if isinstance(x, str):
+                kept.append(x)
+            # non-strings never == a string → drop
+        elif cls is bool:
+            if isinstance(x, bool):
+                kept.append(x)
+            elif isinstance(x, (int, float)) and x in (0, 1):
+                kept.append(bool(x))  # Python: True == 1, False == 0
+            # other numerics never == a bool → drop
+        elif cls in (int, float):
+            if isinstance(x, bool):
+                kept.append(int(x))  # True ≡ 1 under numeric widening
+            elif isinstance(x, (int, float)):
+                kept.append(x)  # Spark widens numeric comparisons
+            # strings never == a number in Python → drop
+        else:
+            return None  # non-scalar column: kernel fallback
+    return kept
+
+
 def _lower_enum(v: K.Enum, dtype: T.DataType) -> Lowered:
     values = list(v.values)
     if not all(_enum_literal_ok(x) for x in values):
         return kernel_fallback(v, dtype)
     bare = "must be %s" % v.humanized_name
-    non_null = [x for x in values if x is not None]
     allow_null = any(x is None for x in values)
+    non_null = _comparable_enum_values(
+        [x for x in values if x is not None], dtype
+    )
+    if non_null is None:
+        return kernel_fallback(v, dtype)
 
-    # Python `in` uses == across numeric types and bool==int; Spark isin on a
-    # typed column only sees same-type literals, which matches for
-    # homogeneous enum/column types (the table case). bool columns vs
-    # {1,2,3} etc. are handled by Python equality at kernel-parity level.
     def fails(col: Column) -> Column:
         member = col.isin(non_null) if non_null else F.lit(False)
         if allow_null:
@@ -514,6 +568,18 @@ def _lower_range(v: K.Range, dtype: T.DataType) -> Lowered:
                 lambda col, mx=mx: adapted(col) > F.lit(mx),
                 lambda col, mx=mx: F.lit("must not be larger than %d" % mx),
             )
+        )
+
+    # a bounded bare Range (no inner validator) must reject NULL: the
+    # kernel never accepts None against a bound (reference
+    # validators.py:361 — None < min raises), whereas the NULL-propagating
+    # comparison would fall through _nullsafe as "not failing"
+    if checks and inner is None:
+        first = checks[0]
+        checks[0] = _Check(
+            first.constraint,
+            lambda col, f=first.fails: col.isNull() | f(col),
+            first.bare_msg,
         )
 
     bounds = _leaf(out_type, checks, out_type=out_type)
