@@ -352,3 +352,76 @@ def test_simhash_small_bits_no_sign_smear(spark):
     )
     for r in simhash(df, bits=16).collect():
         assert 0 <= r["simhash"] < (1 << 16), hex(r["simhash"])
+
+
+def test_adaptby_native_builtins(spark):
+    """AdaptBy(hex/int/float/str) lowers to native expressions (SURVEY
+    §2.2) — values match the kernel and no Python eval node appears."""
+    run_case(spark, V.AdaptBy(hex, traps=TypeError), T.LongType(),
+             [255, 0, -255, None], check_messages=False)
+    run_case(spark, V.AdaptBy(int), T.StringType(),
+             ["12", "abc", None], check_messages=False)
+    run_case(spark, V.AdaptBy(float), T.StringType(),
+             ["1.5", "x", None], check_messages=False)
+    # no None probe for str: kernel str(None) == 'None', but the engine's
+    # NULL ≡ absent convention keeps NULL as NULL (engine-wide, NOTES)
+    run_case(spark, V.AdaptBy(str), T.LongType(), [7],
+             check_messages=False)
+
+    node = lower(V.parse(V.AdaptBy(hex)), T.LongType())
+    df = spark.createDataFrame([(255,)], "x long")
+    plan = (
+        df.select(node.adapt(F.col("x")).alias("a"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "EvalPython" not in plan
+
+
+def test_adaptby_unrecognized_stays_fallback(spark):
+    """Arbitrary callables still round-trip through the kernel."""
+    validator = V.AdaptBy(lambda x: x * 2, traps=TypeError)
+    validator.spark_out_type = T.LongType()
+    node = lower(validator, T.LongType())
+    df = spark.createDataFrame([(21,)], "x long")
+    assert df.select(node.adapt(F.col("x")).alias("a")).first()["a"] == 42
+
+
+def test_object_open_extras_map_side_channel(spark):
+    """Object(additional=...) over the _extras MapType side channel
+    (SURVEY §1.2): forbid/remove/schema/allow policies apply per entry."""
+    from valideer_spark.plans import compile_plan
+
+    st = T.StructType([
+        T.StructField("id", T.StringType()),
+        T.StructField("_extras", T.MapType(T.StringType(), T.LongType())),
+    ])
+    df = spark.createDataFrame(
+        [("a", {"x": 1, "y": 2}), ("b", {}), ("c", None), ("d", {"neg": -1})], st
+    )
+
+    def run(policy):
+        plan = compile_plan(V.Object(required={"id": "string"}, additional=policy), df)
+        return {r["id"]: r for r in plan.check(df, adapt=True).collect()}
+
+    forbid = run(False)
+    assert not forbid["a"]["_valid"]
+    v = forbid["a"]["_violations"][0]
+    assert v["constraint"] == "object.additional"
+    assert "additional properties: ['x', 'y']" in v["message"]
+    assert forbid["b"]["_valid"] and forbid["c"]["_valid"]
+
+    removed = run(V.Object.REMOVE)
+    assert all(r["_valid"] for r in removed.values())
+    assert dict(removed["a"]["_adapted"]["_extras"]) == {}
+    assert removed["c"]["_adapted"]["_extras"] is None
+
+    schema = run(V.Range("integer", min_value=0))
+    assert schema["a"]["_valid"]
+    assert dict(schema["a"]["_adapted"]["_extras"]) == {"x": 1, "y": 2}
+    assert not schema["d"]["_valid"]
+    v = schema["d"]["_violations"][0]
+    assert (v["path"], v["constraint"]) == ("neg", "range.min")
+
+    allow = run(True)
+    assert all(r["_valid"] for r in allow.values())
+    assert dict(allow["d"]["_adapted"]["_extras"]) == {"neg": -1}

@@ -61,6 +61,13 @@ VIOLATION_TYPE = T.ArrayType(
     )
 )
 
+# Open-schema convention: a MapType struct field with this name holds
+# dynamically-keyed extra properties (static parquet/Iceberg schemas cannot
+# grow columns per document); Object lowering applies its
+# additional-property policy to the map's ENTRIES. See SURVEY §1.2 and
+# reference validators.py:666-668.
+EXTRAS_FIELD = "_extras"
+
 
 class LoweringError(Exception):
     """A validator cannot be lowered against the given Spark type."""
@@ -869,6 +876,51 @@ def _lower_adapt_to(v: K.AdaptTo, dtype: T.DataType) -> Lowered:
     return kernel_fallback(v, dtype)
 
 
+def _traps_cover(v: K.AdaptBy, *excs: type) -> bool:
+    t = v._traps
+    if not t:
+        return False
+    if not isinstance(t, tuple):
+        t = (t,)
+    return all(any(issubclass(e, trap) for trap in t) for e in excs)
+
+
+_HEX_NULL_MSG = "'NoneType' object cannot be interpreted as an integer"
+
+
+def _lower_adapt_by(v: K.AdaptBy, dtype: T.DataType) -> Lowered:
+    """Native lowering for RECOGNIZED builtin adaptors (SURVEY §2.2):
+    ``int``/``float``/``str`` reuse the AdaptTo cast cascades (the adaptor
+    call and the coercion produce the same values on typed columns), and
+    ``hex`` compiles to a hex/format expression — no Arrow round-trip.
+    Anything else (arbitrary callables, traps that do not cover the
+    builtin's exceptions) stays on the kernel-fallback path."""
+    a = v._adaptor
+    if a in (int, float) and _traps_cover(v, ValueError, TypeError):
+        return _lower_adapt_to(v, dtype)
+    if a is str and _traps_cover(v, TypeError):
+        return _lower_adapt_to(v, dtype)
+    if a is hex and _traps_cover(v, TypeError) and isinstance(
+        dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        def py_hex(col: Column) -> Column:
+            # python hex(): lowercase digits, 0x prefix, sign before prefix
+            body = F.lower(F.hex(F.abs(col.cast("long"))))
+            # strip the leading zeros jvm hex never emits for bigint: it
+            # doesn't — F.hex(long) is minimal — but hex(0) is '0'
+            return F.concat(
+                F.when(col < 0, F.lit("-0x")).otherwise(F.lit("0x")), body
+            )
+
+        checks = [_null_check("adapt_by:hex", _HEX_NULL_MSG)]
+        return _leaf(
+            dtype, checks, adapt=py_hex, out_type=T.StringType()
+        )
+    return kernel_fallback(
+        v, dtype, out_type=getattr(v, "spark_out_type", None)
+    )
+
+
 def _lower_homogeneous_sequence(v: K.HomogeneousSequence, dtype: T.DataType) -> Lowered:
     if not isinstance(dtype, T.ArrayType):
         # non-array column can never be a sequence → constant type violation
@@ -1146,6 +1198,26 @@ def _lower_object(v: K.Object, dtype: T.DataType) -> Lowered:
 
     extras = [f.name for f in dtype.fields if f.name not in v._all_keys]
     additional = v._additional
+
+    # open-schema side channel (SURVEY §1.2): a MapType field named
+    # EXTRAS_FIELD carries dynamically-keyed extra properties that a static
+    # parquet/Iceberg schema cannot hold as real columns. Its ENTRIES (not
+    # the field itself) follow the Object's additional-property policy:
+    # reference validators.py:666-668 applied per map entry.
+    extras_field: Optional[str] = None
+    extras_map_node: Optional[Lowered] = None
+    if (
+        EXTRAS_FIELD in field_types
+        and isinstance(field_types[EXTRAS_FIELD], T.MapType)
+        and EXTRAS_FIELD not in v._all_keys
+    ):
+        extras_field = EXTRAS_FIELD
+        extras = [n for n in extras if n != EXTRAS_FIELD]
+        if isinstance(additional, Validator):
+            extras_map_node = lower(
+                additional, field_types[EXTRAS_FIELD].valueType
+            )
+
     extra_node = (
         {name: lower(additional, field_types[name]) for name in extras}
         if isinstance(additional, Validator)
@@ -1190,6 +1262,19 @@ def _lower_object(v: K.Object, dtype: T.DataType) -> Lowered:
                         extra_node[name].predicate(fld)
                     )
                 )
+        if extras_field is not None:
+            mfld = col.getField(extras_field)
+            if additional is False:
+                p = p & (mfld.isNull() | (F.size(mfld) == 0))
+            elif extras_map_node is not None:
+                p = p & _nullsafe(
+                    F.when(mfld.isNull(), F.lit(True)).otherwise(
+                        F.forall(
+                            F.map_values(mfld),
+                            lambda x: extras_map_node.predicate(x),
+                        )
+                    )
+                )
         return _nullsafe(p)
 
     def adapt(col: Column) -> Column:
@@ -1218,6 +1303,24 @@ def _lower_object(v: K.Object, dtype: T.DataType) -> Lowered:
                         fld.isNotNull() & ~node.predicate(fld), F.lit(None)
                     ).otherwise(expr)
                 out_fields.append(expr.alias(name))
+            elif name == extras_field:
+                if additional is K.Object.REMOVE:
+                    mt = field_types[extras_field]
+                    empty = F.map_from_arrays(
+                        F.array().cast(T.ArrayType(mt.keyType, False)),
+                        F.array().cast(T.ArrayType(mt.valueType)),
+                    )
+                    out_fields.append(
+                        F.when(fld.isNull(), fld).otherwise(empty).alias(name)
+                    )
+                elif extras_map_node is not None:
+                    out_fields.append(
+                        F.transform_values(
+                            fld, lambda k, x: extras_map_node.adapt(x)
+                        ).alias(name)
+                    )
+                else:
+                    out_fields.append(fld.alias(name))
             elif additional is K.Object.REMOVE:
                 out_fields.append(F.lit(None).cast(f.dataType).alias(name))
             elif name in extra_node:
@@ -1253,16 +1356,27 @@ def _lower_object(v: K.Object, dtype: T.DataType) -> Lowered:
                     node.violations(fld, _extend_path_prop(path, name))
                 )
             )
-        if additional is False and extras:
-            present_extras = F.filter(
-                F.array(
-                    *[
-                        F.when(col.getField(n).isNotNull(), F.lit(n))
-                        for n in extras
-                    ]
-                ),
-                lambda x: x.isNotNull(),
-            )
+        if additional is False and (extras or extras_field):
+            arrs = []
+            if extras:
+                arrs.append(
+                    F.filter(
+                        F.array(
+                            *[
+                                F.when(col.getField(n).isNotNull(), F.lit(n))
+                                for n in extras
+                            ]
+                        ),
+                        lambda x: x.isNotNull(),
+                    )
+                )
+            if extras_field is not None:
+                mfld = col.getField(extras_field)
+                arrs.append(
+                    F.when(mfld.isNull(), F.array().cast("array<string>"))
+                    .otherwise(F.map_keys(mfld).cast("array<string>"))
+                )
+            present_extras = F.concat(*arrs) if len(arrs) > 1 else arrs[0]
             parts.append(
                 F.when(
                     F.size(present_extras) > 0,
@@ -1280,13 +1394,34 @@ def _lower_object(v: K.Object, dtype: T.DataType) -> Lowered:
                     ),
                 ).otherwise(_no_violations())
             )
-        elif extra_node:
-            for name in extras:
-                fld = col.getField(name)
+        else:
+            if extra_node:
+                for name in extras:
+                    fld = col.getField(name)
+                    parts.append(
+                        F.when(fld.isNull(), _no_violations()).otherwise(
+                            extra_node[name].violations(
+                                fld, _extend_path_prop(path, name)
+                            )
+                        )
+                    )
+            if extras_map_node is not None:
+                mfld = col.getField(extras_field)
+                mt = field_types[extras_field]
                 parts.append(
-                    F.when(fld.isNull(), _no_violations()).otherwise(
-                        extra_node[name].violations(
-                            fld, _extend_path_prop(path, name)
+                    F.when(mfld.isNull(), _no_violations()).otherwise(
+                        F.flatten(
+                            F.transform(
+                                F.map_entries(mfld),
+                                lambda e: extras_map_node.violations(
+                                    e.getField("value"),
+                                    extend_path(
+                                        path,
+                                        e.getField("key").cast("string"),
+                                        py_repr(e.getField("key"), mt.keyType),
+                                    ),
+                                ),
+                            )
                         )
                     )
                 )
@@ -1344,6 +1479,8 @@ _LOWERINGS: List[Tuple[type, Callable[[Any, T.DataType], Lowered]]] = [
     (K.ChainOf, _lower_chainof),
     (K.Condition, _lower_condition),
     (K.AdaptTo, _lower_adapt_to),
+    (K.AdaptBy, _lower_adapt_by),         # after AdaptTo (subclass) — only
+                                          # recognized builtins go native
     (K.HomogeneousSequence, _lower_homogeneous_sequence),
     (K.HeterogeneousSequence, _lower_heterogeneous_sequence),
     (K.Mapping, _lower_mapping),

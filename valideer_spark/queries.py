@@ -1078,6 +1078,69 @@ ORDER BY rec_id
 """
 
 
+def q_open_extras_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-schema extras (SURVEY §1.2): dynamically-keyed extra
+    properties live in the _extras MapType side channel; the Object's
+    additional-property schema (Range >= 0) validates each ENTRY. The
+    oracle recomputes validity from the rebuilt map values."""
+    from . import core as V
+
+    n = 2000
+    df = spark.range(n).select(
+        F.format_string("x-%06d", F.col("id")).alias("id"),
+        F.when(
+            F.col("id") % 13 == 0,
+            F.create_map(F.lit("bad"), F.lit(-2).cast("long")),
+        )
+        .when(
+            F.col("id") % 3 == 0,
+            F.create_map(
+                F.lit("a"), (F.col("id") % 7).cast("long"),
+                F.lit("b"), F.lit(1).cast("long"),
+            ),
+        )
+        .otherwise(
+            F.map_from_arrays(
+                F.array().cast("array<string>"), F.array().cast("array<long>")
+            )
+        )
+        .alias("_extras"),
+    )
+    schema = V.Object(
+        required={"id": V.Pattern(r"x-\d{6}$")},
+        additional=V.Range("integer", min_value=0),
+    )
+    report = ValidationEngine(schema, id_col="id").check(df)
+    first = F.try_element_at("_violations", F.lit(1))
+    return report.annotated.select(
+        "id",
+        F.col("_valid").alias("valid"),
+        first.getField("path").alias("path"),
+        first.getField("constraint").alias("constraint"),
+    )
+
+
+ORACLE_OPEN_EXTRAS_VERDICTS = """
+WITH t AS (
+  SELECT format('x-{:06d}', i) AS id,
+    CASE WHEN i % 13 = 0 THEN MAP {'bad': -2}
+         WHEN i % 3 = 0 THEN MAP {'a': i % 7, 'b': 1}
+         ELSE MAP {} END AS extras
+  FROM range(2000) r(i)
+)
+SELECT id,
+  len(list_filter(map_values(extras), v -> v < 0)) = 0 AS valid,
+  CASE WHEN len(list_filter(map_values(extras), v -> v < 0)) > 0
+       THEN 'bad' END AS path,
+  CASE WHEN len(list_filter(map_values(extras), v -> v < 0)) > 0
+       THEN 'range.min' END AS "constraint"
+FROM t
+"""
+
+
+QUERIES["open_extras_verdicts"] = q_open_extras_verdicts
+ORACLES["open_extras_verdicts"] = ORACLE_OPEN_EXTRAS_VERDICTS
+
 QUERIES["typed_matrix_verdicts"] = q_typed_matrix_verdicts
 QUERIES["typed_matrix_messages"] = q_typed_matrix_messages
 QUERIES["typed_required_missing"] = q_typed_required_missing
