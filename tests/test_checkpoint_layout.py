@@ -1,0 +1,98 @@
+"""Checkpoint/resume storage-layout behavior + Iceberg code path.
+
+The Iceberg runtime is absent in this container, so executable coverage
+is: generated MERGE INTO SQL (exact text), availability probe, graceful
+fallback; the partition-pruned resume is proven on the parquet layout
+(same pruning mechanics Iceberg applies from table metadata).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from valideer_spark.engine import ValidationEngine, write_partitioned
+from valideer_spark.flagship import doc_schema
+from valideer_spark.sources import synth_docs
+from valideer_spark.sources.iceberg import (
+    checkpoint_merge_sql,
+    iceberg_available,
+    read_table,
+)
+
+
+def test_merge_into_sql_text():
+    sql = checkpoint_merge_sql(
+        "ckpt.partition_checkpoints", "src", key_cols=("part_id",),
+        update_cols=("n_docs", "pass", "run_id"),
+    )
+    assert sql == (
+        "MERGE INTO ckpt.partition_checkpoints t\n"
+        "USING src s\n"
+        "ON t.part_id = s.part_id\n"
+        "WHEN MATCHED THEN UPDATE SET t.n_docs = s.n_docs, t.pass = s.pass, "
+        "t.run_id = s.run_id\n"
+        "WHEN NOT MATCHED THEN INSERT (part_id, n_docs, pass, run_id) "
+        "VALUES (s.part_id, s.n_docs, s.pass, s.run_id)"
+    )
+
+
+def test_read_table_parquet_fallback_and_guard(spark, tmp_path):
+    p = str(tmp_path / "t")
+    spark.range(5).write.parquet(p)
+    assert read_table(spark, p).count() == 5
+    with pytest.raises(ValueError):
+        read_table(spark, p, snapshot_id=42)  # time travel needs iceberg
+
+
+def test_iceberg_probe_and_skip(spark):
+    if iceberg_available(spark):
+        pytest.skip("iceberg present: exercised by the deployment suite")
+    # without jars the engine must not touch iceberg paths implicitly
+    eng = ValidationEngine(doc_schema(), checkpoint_format="iceberg",
+                           checkpoint_table="nope.ckpt")
+    assert eng.completed_partitions(spark) is None  # graceful, no raise
+
+
+def test_resume_prunes_partitioned_scan(spark, tmp_path):
+    """With the write_partitioned layout, a resumed run filters _part_id
+    at the SOURCE: completed buckets appear in PartitionFilters and the
+    scan reads zero rows when everything is checkpointed."""
+    docs = synth_docs(spark, 400)
+    data_path = str(tmp_path / "docs_bucketed")
+    write_partitioned(docs, data_path, buckets=8)
+
+    eng = ValidationEngine(
+        doc_schema(), buckets=8, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    stored = spark.read.parquet(data_path)
+    first = eng.run_with_checkpoint(stored, run_id="r1")
+    assert first.count() == 8
+
+    done = [r["part_id"] for r in eng.completed_partitions(spark).collect()]
+    resumed_scan = spark.read.parquet(data_path).filter(
+        ~F.col("_part_id").isin(done)
+    )
+    plan = resumed_scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "_part_id" in plan.split(
+        "PartitionFilters"
+    )[1][:200]
+
+    second = eng.run_with_checkpoint(spark.read.parquet(data_path), run_id="r2")
+    assert second.count() == 0  # nothing left to validate
+
+
+def test_resume_partial_progress(spark, tmp_path):
+    """Seed a checkpoint covering half the buckets; the resumed run
+    validates exactly the other half."""
+    docs = synth_docs(spark, 400)
+    data_path = str(tmp_path / "docs_bucketed")
+    write_partitioned(docs, data_path, buckets=8)
+    eng = ValidationEngine(
+        doc_schema(), buckets=8, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    stored = spark.read.parquet(data_path)
+    half = stored.filter(F.col("_part_id") < 4)
+    assert eng.run_with_checkpoint(half, run_id="r1").count() == 4
+
+    rest = eng.run_with_checkpoint(stored, run_id="r2")
+    got = sorted(r["part_id"] for r in rest.collect())
+    assert got == [4, 5, 6, 7]

@@ -41,6 +41,29 @@ def deterministic_partition_id(doc_id_col, buckets: int = DEFAULT_BUCKETS):
     return F.pmod(F.xxhash64(doc_id_col), F.lit(buckets)).cast("int")
 
 
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    buckets: int = DEFAULT_BUCKETS,
+    fmt: str = "parquet",
+) -> None:
+    """Materialize the documents table partitioned by the deterministic
+    bucket id — the layout that makes checkpoint RESUME prune the scan
+    (completed buckets are whole storage partitions, never read again).
+
+    ``buckets`` directories each hold 1/buckets of the corpus; at 100 TB
+    and 256 buckets that is ~400 GB per partition — many parquet files
+    each, so no small-file problem, while resume and per-partition
+    verdicts stay aligned with the checkpoint key."""
+    out = df.withColumn("_part_id", deterministic_partition_id(F.col(id_col), buckets))
+    writer = out.write.mode("overwrite").partitionBy("_part_id")
+    if fmt == "iceberg":
+        writer.format("iceberg").saveAsTable(path)
+    else:
+        writer.parquet(path)
+
+
 @dataclass
 class CheckReport:
     annotated: DataFrame  # input + _part_id, _valid
@@ -117,11 +140,19 @@ class ValidationEngine:
         id_col: str = "doc_id",
         buckets: int = DEFAULT_BUCKETS,
         checkpoint_dir: Optional[str] = None,
+        checkpoint_format: str = "parquet",
+        checkpoint_table: Optional[str] = None,
     ):
+        """``checkpoint_format='iceberg'`` maintains the checkpoint with
+        ``MERGE INTO checkpoint_table`` (idempotent per partition key) —
+        requires the Iceberg runtime; the parquet default appends under
+        ``checkpoint_dir`` (the sandbox layout)."""
         self.schema = schema
         self.id_col = id_col
         self.buckets = buckets
         self.checkpoint_dir = checkpoint_dir
+        self.checkpoint_format = checkpoint_format
+        self.checkpoint_table = checkpoint_table
         self._plan: Optional[FramePlan] = None
         self._plan_schema: Optional[str] = None
 
@@ -154,6 +185,15 @@ class ValidationEngine:
         return os.path.join(self.checkpoint_dir, "partition_checkpoints")
 
     def completed_partitions(self, spark: SparkSession) -> Optional[DataFrame]:
+        if self.checkpoint_format == "iceberg":
+            from .sources.iceberg import read_table
+
+            try:
+                return read_table(
+                    spark, self.checkpoint_table, fmt="iceberg"
+                ).select("part_id").distinct()
+            except Exception:
+                return None
         path = self._checkpoint_path()
         try:
             return spark.read.parquet(path).select("part_id").distinct()
@@ -163,14 +203,30 @@ class ValidationEngine:
     def run_with_checkpoint(
         self, df: DataFrame, run_id: Optional[str] = None
     ) -> DataFrame:
-        """Validate only partitions not yet checkpointed; append verdicts +
-        lineage to the checkpoint table. Returns this run's verdict rows."""
+        """Validate only partitions not yet checkpointed; upsert verdicts +
+        lineage into the checkpoint table. Returns this run's verdict rows.
+
+        Resume pruning: when the input carries a PHYSICAL ``_part_id``
+        column (a layout written by :func:`write_partitioned`, i.e.
+        parquet/Iceberg partitioned by the deterministic bucket), the
+        completed ids — at most ``buckets`` of them — are collected and
+        applied as a NOT-IN source filter, which Spark turns into
+        partition pruning: completed partitions are never scanned. For
+        unpartitioned inputs the filter falls back to a broadcast
+        anti-join after the scan (rows skipped, I/O not)."""
         spark = df.sparkSession
         run_id = run_id or uuid.uuid4().hex
-        report = self.check(df, adapt=False)
         done = self.completed_partitions(spark)
+
+        pruned_at_source = done is not None and "_part_id" in df.columns
+        if pruned_at_source:
+            done_ids = [r["part_id"] for r in done.collect()]  # ≤ buckets rows
+            if done_ids:
+                df = df.filter(~F.col("_part_id").isin(done_ids))
+
+        report = self.check(df, adapt=False)
         annotated = report.annotated
-        if done is not None:
+        if done is not None and not pruned_at_source:
             # broadcast anti-join: the completed list is tiny (≤ buckets)
             annotated = annotated.join(
                 F.broadcast(done), annotated["_part_id"] == done["part_id"], "left_anti"
@@ -181,6 +237,13 @@ class ValidationEngine:
         verdicts = pending.verdicts().withColumn("run_id", F.lit(run_id)).withColumn(
             "completed_at", F.lit(int(time.time())).cast("long")
         ).withColumnRenamed("_part_id", "part_id")
+        if self.checkpoint_format == "iceberg":
+            from .sources.iceberg import merge_checkpoint, read_table
+
+            merge_checkpoint(spark, self.checkpoint_table, verdicts)
+            return read_table(spark, self.checkpoint_table, fmt="iceberg").filter(
+                F.col("run_id") == run_id
+            )
         verdicts.write.mode("append").parquet(self._checkpoint_path())
         return spark.read.parquet(self._checkpoint_path()).filter(
             F.col("run_id") == run_id
