@@ -92,3 +92,21 @@ def test_adapted_defaults(report):
     assert adapted["rec-00000016"]["nick"] == "nick16"
     # AdaptTo(int) coerced the digit string
     assert adapted["rec-00000016"]["raw_num"] == 16
+
+
+def test_verdict_rollup_single_agg(spark):
+    """rollup(_part_id) yields per-partition rows + one grand-total row
+    whose counts equal the sum, in one grouping-sets aggregation."""
+    from valideer_spark.engine import ValidationEngine
+    from valideer_spark.flagship import doc_schema
+    from valideer_spark.sources import synth_docs
+
+    rep = ValidationEngine(doc_schema(), buckets=8).check(synth_docs(spark, 500))
+    rows = rep.verdict_rollup().collect()
+    total = [r for r in rows if r["is_total"] == 1]
+    parts = [r for r in rows if r["is_total"] == 0]
+    assert len(total) == 1 and len(parts) == 8
+    assert total[0]["n_docs"] == sum(r["n_docs"] for r in parts) == 500
+    assert total[0]["n_valid"] == sum(r["n_valid"] for r in parts)
+    plan = rep.verdict_rollup()._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in plan  # grouping sets, single aggregation tree

@@ -103,6 +103,23 @@ class CheckReport:
             F.col("v.message").alias("message"),
         )
 
+    def verdict_rollup(self) -> DataFrame:
+        """Partition verdicts AND the grand total in ONE aggregation via
+        ``rollup(_part_id)`` (SURVEY §2.5 grouping-sets row): the NULL
+        ``_part_id`` row is the overall verdict. Spark computes both
+        grouping sets in a single partial+final hash agg — one scan, one
+        shuffle, versus two jobs for verdicts() + totals."""
+        return (
+            self.annotated.rollup("_part_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum(F.col("_valid").cast("long")).alias("n_valid"),
+                F.sum(F.size("_violations")).alias("n_violations"),
+                F.grouping("_part_id").alias("is_total"),
+            )
+            .withColumn("pass", F.col("n_valid") == F.col("n_docs"))
+        )
+
     def worst_partitions(self, k: int = 10) -> DataFrame:
         """Top-k partitions by invalid-doc count (TakeOrderedAndProject —
         per-partition top-k + a k-row driver merge, no full sort)."""

@@ -839,6 +839,35 @@ FROM docs
 """
 
 
+def q_verdict_rollup_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rollup(_part_id) grouping sets: the grand-total row (is_total=1)
+    must equal the document-level truth DuckDB recomputes; per-partition
+    rows share the plan (xxhash buckets, covered rows-only elsewhere)."""
+    report = ValidationEngine(doc_schema(), buckets=64).check(_docs(spark))
+    return (
+        report.verdict_rollup()
+        .filter(F.col("is_total") == 1)
+        .select("n_docs", "n_valid", F.col("pass"))
+    )
+
+
+ORACLE_VERDICT_ROLLUP_TOTAL = _docs_cte() + f"""
+, verdicts AS (
+  SELECT (regexp_full_match(doc_id, 'doc-\\d{{12}}')
+   AND len(spans) >= 1
+   AND coalesce(list_aggregate(list_transform(spans, s -> {_SPAN_OK}), 'bool_and'), TRUE)
+  ) AS valid
+  FROM docs
+)
+SELECT count(*) AS n_docs,
+       sum(CASE WHEN valid THEN 1 ELSE 0 END) AS n_valid,
+       bool_and(valid) AS pass
+FROM verdicts
+"""
+
+QUERIES["verdict_rollup_total"] = q_verdict_rollup_total
+ORACLES["verdict_rollup_total"] = ORACLE_VERDICT_ROLLUP_TOTAL
+
 QUERIES["simhash_near_dups"] = q_simhash_near_dups
 QUERIES["simhash_seeded_recall"] = q_simhash_seeded_recall
 QUERIES["winnowing_fingerprints"] = q_winnowing_fingerprints
