@@ -44,6 +44,28 @@ def _docs(spark: SparkSession) -> DataFrame:
     return synth_docs(spark, FLAGSHIP_N_DOCS)
 
 
+# process-level engine memo: each ValidationEngine compiles its check plan
+# once per (schema, frame schema); the gate runs many queries against the
+# same flagship/typed schemas, so sharing engines avoids recompiling the
+# ~1-2s expression tree per query (NOTES r1 cold-start item)
+_ENGINES: Dict[tuple, ValidationEngine] = {}
+
+
+def _flagship_engine(buckets: int = 256) -> ValidationEngine:
+    key = ("flagship", buckets)
+    if key not in _ENGINES:
+        _ENGINES[key] = ValidationEngine(doc_schema(), buckets=buckets)
+    return _ENGINES[key]
+
+
+def _typed_engine() -> ValidationEngine:
+    from .sources.typed import typed_schema
+
+    if "typed" not in _ENGINES:
+        _ENGINES["typed"] = ValidationEngine(typed_schema(), id_col="rec_id")
+    return _ENGINES["typed"]
+
+
 def _docs_cte() -> str:
     return "WITH docs AS (%s)" % synth_docs_sql(FLAGSHIP_N_DOCS)
 
@@ -53,7 +75,7 @@ def _docs_cte() -> str:
 # ---------------------------------------------------------------------------
 
 def q_flagship_violation_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    report = ValidationEngine(doc_schema()).check(_docs(spark))
+    report = _flagship_engine().check(_docs(spark))
     return (
         report.metrics()
         .select(F.col("constraint"), F.col("count").alias("n"))
@@ -82,7 +104,7 @@ SELECT "constraint", n FROM per_constraint WHERE n > 0 ORDER BY "constraint"
 
 
 def q_flagship_doc_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    report = ValidationEngine(doc_schema()).check(_docs(spark))
+    report = _flagship_engine().check(_docs(spark))
     return report.annotated.select(
         F.col("doc_id"), F.col("_valid").alias("valid")
     )
@@ -99,7 +121,7 @@ FROM docs
 
 
 def q_flagship_partition_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    report = ValidationEngine(doc_schema(), buckets=64).check(_docs(spark))
+    report = _flagship_engine(buckets=64).check(_docs(spark))
     return report.verdicts().select(
         F.col("_part_id").alias("part_id"),
         "n_docs",
@@ -823,7 +845,7 @@ def q_partition_verdict_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-checks the per-partition rollup against document-level truth:
     summing the partition verdicts must reproduce the global doc/valid
     counts, which DuckDB recomputes from flagship validation semantics."""
-    report = ValidationEngine(doc_schema(), buckets=64).check(_docs(spark))
+    report = _flagship_engine(buckets=64).check(_docs(spark))
     return report.verdicts().agg(
         F.sum("n_docs").alias("n_docs"), F.sum("n_valid").alias("n_valid")
     )
@@ -843,7 +865,7 @@ def q_verdict_rollup_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rollup(_part_id) grouping sets: the grand-total row (is_total=1)
     must equal the document-level truth DuckDB recomputes; per-partition
     rows share the plan (xxhash buckets, covered rows-only elsewhere)."""
-    report = ValidationEngine(doc_schema(), buckets=64).check(_docs(spark))
+    report = _flagship_engine(buckets=64).check(_docs(spark))
     return (
         report.verdict_rollup()
         .filter(F.col("is_total") == 1)
@@ -978,7 +1000,7 @@ def q_typed_matrix_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     typed-matrix table — every M2 validator family in one lowered plan."""
     from .sources.typed import typed_schema
 
-    report = ValidationEngine(typed_schema(), id_col="rec_id").check(_typed(spark))
+    report = _typed_engine().check(_typed(spark))
     first = F.try_element_at("_violations", F.lit(1))
     return report.annotated.select(
         "rec_id",
@@ -1011,7 +1033,7 @@ def q_typed_matrix_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
     typed_required_missing)."""
     from .sources.typed import typed_schema
 
-    report = ValidationEngine(typed_schema(), id_col="rec_id").check(_typed(spark))
+    report = _typed_engine().check(_typed(spark))
     first = F.try_element_at("_violations", F.lit(1))
     return (
         report.annotated.filter(~F.col("_valid"))
@@ -1082,9 +1104,7 @@ def q_typed_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
     AnyOf first-match passthrough (maybe_num)."""
     from .sources.typed import typed_schema
 
-    report = ValidationEngine(typed_schema(), id_col="rec_id").check(
-        _typed(spark), adapt=True
-    )
+    report = _typed_engine().check(_typed(spark), adapt=True)
     adapted = report.adapted()
     return adapted.select(
         "rec_id",
