@@ -1239,8 +1239,17 @@ def _lower_object(v: K.Object, dtype: T.DataType) -> Lowered:
 
     def predicate(col: Column) -> Column:
         p = own.predicate(col)
-        if required:
-            p = p & (F.size(_missing_arr(col)) == 0)
+        # hot path: direct presence conjunction — the array+filter+size
+        # form (_missing_arr, still used to BUILD the violation message on
+        # the cold path) allocates an array per row/span, which dominates
+        # allocation in interpreted HOF evaluation at depth
+        for name in required:
+            present = (
+                col.getField(name).isNotNull()
+                if name in field_types
+                else F.lit(False)
+            )
+            p = p & present
         for name, validator, node in declared:
             if node is None:
                 continue
