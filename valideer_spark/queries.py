@@ -890,6 +890,49 @@ FROM verdicts
 QUERIES["verdict_rollup_total"] = q_verdict_rollup_total
 ORACLES["verdict_rollup_total"] = ORACLE_VERDICT_ROLLUP_TOTAL
 
+
+def q_first_violating_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function gate (SURVEY §2.5): first violating span per doc —
+    posexplode + the compiled span predicate + row_number. The window
+    orders by (span_idx, kind) so the seeded duplicate doc_id (hot key)
+    resolves deterministically on both engines."""
+    from pyspark.sql.window import Window
+
+    from .flagship import span_schema
+    from .plans.lowering import lower
+    from .sources.docs import SPAN_SCHEMA
+
+    node = lower(span_schema(), SPAN_SCHEMA)
+    exploded = _docs(spark).select(
+        "doc_id", F.posexplode("spans").alias("span_idx", "s")
+    )
+    bad = exploded.filter(~node.predicate(F.col("s")))
+    w = Window.partitionBy("doc_id").orderBy("span_idx", F.col("s.kind"))
+    return (
+        bad.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "span_idx", F.col("s.kind").alias("kind"))
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_FIRST_VIOLATING_SPAN = _docs_cte() + f"""
+, spans_idx AS (
+  SELECT doc_id, CAST(u.i - 1 AS INT) AS span_idx, u.s AS s
+  FROM docs, LATERAL (
+    SELECT unnest(spans) AS s, generate_subscripts(spans, 1) AS i
+  ) u
+)
+SELECT doc_id, span_idx, s.kind AS kind
+FROM spans_idx
+WHERE NOT {_SPAN_OK}
+QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY span_idx, s.kind) = 1
+ORDER BY doc_id
+"""
+
+QUERIES["first_violating_span"] = q_first_violating_span
+ORACLES["first_violating_span"] = ORACLE_FIRST_VIOLATING_SPAN
+
 QUERIES["simhash_near_dups"] = q_simhash_near_dups
 QUERIES["simhash_seeded_recall"] = q_simhash_seeded_recall
 QUERIES["winnowing_fingerprints"] = q_winnowing_fingerprints
