@@ -425,3 +425,18 @@ def test_object_open_extras_map_side_channel(spark):
     allow = run(True)
     assert all(r["_valid"] for r in allow.values())
     assert dict(allow["d"]["_adapted"]["_extras"]) == {"neg": -1}
+
+
+def test_anyof_mixed_out_types_native_predicate(spark):
+    """AnyOf children adapting to different types: predicate/violations
+    stay native (no Python node); only adapt uses the kernel."""
+    v = V.AnyOf(V.AdaptTo(int, traps=(ValueError, TypeError)), V.Enum(["N/A"]))
+    run_case(spark, v, T.StringType(), ["12", "N/A", "x", None],
+             check_adapted=False, check_messages=False)
+    node = lower(V.parse(v), T.StringType())
+    df = spark.createDataFrame([("12",)], "x string")
+    plan = (
+        df.filter(node.predicate(F.col("x")))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "EvalPython" not in plan

@@ -358,13 +358,31 @@ def kernel_fallback(
         return pd.DataFrame({"suffix": suffixes, "message": messages})
 
     def adapt_scalar_udf():
+        # a mixed-adapt validator (e.g. AnyOf(AdaptTo(int), Enum(["N/A"])))
+        # produces per-row python types that cannot all fit one Spark
+        # column type; coerce into out_type's python class (engine
+        # convention: declare `spark_out_type` to pick the column type,
+        # default keeps the input dtype) — uncoercible values become NULL
+        # instead of failing the Arrow serializer mid-job
+        target_cls = _python_class_for(out_type)
+
         @F.pandas_udf(out_type)
         def adapt_udf(s: pd.Series) -> pd.Series:
             def one(x):
                 try:
-                    return validator.validate(to_py(x), adapt=True)
+                    r = validator.validate(to_py(x), adapt=True)
                 except ValidationError:
                     return None
+                if (
+                    r is not None
+                    and target_cls is not object
+                    and not isinstance(r, target_cls)
+                ):
+                    try:
+                        return target_cls(r)
+                    except Exception:
+                        return None
+                return r
 
             return s.map(one)
 
@@ -683,7 +701,31 @@ def _lower_anyof(v: K.AnyOf, dtype: T.DataType) -> Lowered:
     children = [lower(c, dtype) for c in v._components]
     out_types = {c.out_type.simpleString() for c in children}
     if len(out_types) != 1:
-        return kernel_fallback(v, dtype)
+        # children adapt to DIFFERENT types (e.g. AnyOf(AdaptTo(int),
+        # Enum(["N/A"])) on a string column): a Spark column has one type,
+        # so only ADAPT needs the kernel escape hatch — the predicate,
+        # violations and message stay native (the hot path is adapt-free)
+        fb = kernel_fallback(v, dtype, out_type=getattr(v, "spark_out_type", None))
+
+        def predicate_mixed(col: Column) -> Column:
+            p = F.lit(False)
+            for c in children:
+                p = p | c.predicate(col)
+            return _nullsafe(p)
+
+        def msg_mixed(col: Column) -> Column:
+            return F.concat_ws(" or ", *[c.msg(col) for c in children])
+
+        def violations_mixed(col: Column, path: Column) -> Column:
+            return F.when(predicate_mixed(col), _no_violations()).otherwise(
+                _violation(
+                    path, "any_of", _invalid_value_msg(col, dtype, msg_mixed(col))
+                )
+            )
+
+        return Lowered(
+            fb.out_type, predicate_mixed, fb.adapt, violations_mixed, msg_mixed
+        )
     out_type = children[0].out_type
 
     def predicate(col: Column) -> Column:
