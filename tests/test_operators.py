@@ -110,3 +110,43 @@ def test_worst_partitions(spark):
     assert len(worst) == 3
     assert worst[0]["n_invalid"] >= worst[1]["n_invalid"] >= worst[2]["n_invalid"]
     assert worst[0]["n_invalid"] > 0
+
+
+def test_sketch_table_snapshot_drift(spark, tmp_path):
+    """Persisted sketch tables: write one t-digest table per 'snapshot',
+    reload, and compute drift WITHOUT rescanning the data; quantiles from
+    the round-tripped sketches match the direct computation."""
+    from valideer_spark.operators import (
+        drift_between_sketch_tables,
+        tdigest_quantiles,
+        tdigest_sketch_table,
+    )
+
+    a = spark.range(20000).selectExpr("CAST(id % 1000 AS DOUBLE) AS v")
+    b = spark.range(20000).selectExpr("CAST(id % 1000 + 100 AS DOUBLE) AS v")
+    pa, pb = str(tmp_path / "sk_a"), str(tmp_path / "sk_b")
+    tdigest_sketch_table(a, "v", groups=8).write.parquet(pa)
+    tdigest_sketch_table(b, "v", groups=8).write.parquet(pb)
+
+    rows = drift_between_sketch_tables(
+        spark.read.parquet(pa), spark.read.parquet(pb), probs=[0.25, 0.5, 0.75]
+    )
+    direct = tdigest_quantiles(a, "v", probs=[0.25, 0.5, 0.75], groups=8)
+    for (p, qa, qb, d), dq in zip(rows, direct):
+        assert abs(qa - dq) < 1e-9          # round-trip is lossless
+        assert abs(d - 100.0) < 15.0        # shift recovered (sketch approx)
+
+
+def test_salted_orphan_rows_matches_plain(spark):
+    """Salted anti-join (non-broadcast, skew-proof) returns exactly the
+    plain anti-join's orphans, hot key included."""
+    from valideer_spark.operators.referential import orphan_rows, salted_orphan_rows
+
+    fact = spark.range(5000).selectExpr(
+        "CASE WHEN id % 3 = 0 THEN 42 ELSE id % 100 END AS fk"
+    )
+    ref = spark.range(90).selectExpr("id AS k")  # keys 90..99 + 42-misses? 42<90 present
+    ref = ref.filter("k <> 42")  # make the HOT key an orphan
+    plain = sorted(r["fk"] for r in orphan_rows(fact, "fk", ref, "k").collect())
+    salted = sorted(r["fk"] for r in salted_orphan_rows(fact, "fk", ref, "k", salt=8).collect())
+    assert plain == salted and len(plain) > 0

@@ -1,7 +1,12 @@
 from .stats import column_profile
 from .uniqueness import duplicate_keys
-from .referential import orphan_rows, orphan_keys
-from .drift import quantile_drift, tdigest_quantiles
+from .referential import orphan_keys, orphan_rows, salted_orphan_rows
+from .drift import (
+    drift_between_sketch_tables,
+    quantile_drift,
+    tdigest_quantiles,
+    tdigest_sketch_table,
+)
 from .dedup import (
     exact_duplicates,
     minhash_lsh_candidates,
@@ -27,9 +32,12 @@ __all__ = [
     "column_profile",
     "duplicate_keys",
     "orphan_rows",
+    "salted_orphan_rows",
     "orphan_keys",
     "quantile_drift",
     "tdigest_quantiles",
+    "tdigest_sketch_table",
+    "drift_between_sketch_tables",
     "exact_duplicates",
     "minhash_lsh_candidates",
     "minhash_signatures",

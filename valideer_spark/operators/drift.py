@@ -95,16 +95,21 @@ _DIGEST_SCHEMA = T.StructType(
 )
 
 
-def tdigest_quantiles(
+def tdigest_sketch_table(
     df: DataFrame,
     column: str,
-    probs: Sequence[float] = tuple(DEFAULT_PROBS),
     compression: float = 200.0,
     groups: int = 64,
-) -> List[float]:
-    """Exact-shape distributed t-digest: hash-bucket rows into ``groups``,
-    build one digest per bucket via applyInPandas (Arrow/numpy), merge the
-    (tiny) digests, interpolate the requested quantiles."""
+) -> DataFrame:
+    """Distributed t-digest sketch TABLE: hash-bucket rows into ``groups``,
+    one mergeable digest per bucket via applyInPandas (Arrow/numpy).
+
+    This is the persistable artifact for snapshot drift at scale: write
+    one sketch table per Iceberg snapshot (a few KB × groups, regardless
+    of input size), then compare any two snapshots WITHOUT rescanning
+    them (:func:`drift_between_sketch_tables`). The digests merge
+    algebraically, so sketch tables from different partitionings/cluster
+    sizes compose."""
     import pandas as pd
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -120,14 +125,54 @@ def tdigest_quantiles(
     bucketed = df.select(column).withColumn(
         "_g", F.pmod(F.xxhash64(F.col(column)), F.lit(groups)).cast("int")
     )
-    digests = (
-        bucketed.groupBy("_g").applyInPandas(build, schema=_DIGEST_SCHEMA).collect()
-    )
-    merged_m, merged_w = tdigest_merge(
+    return bucketed.groupBy("_g").applyInPandas(build, schema=_DIGEST_SCHEMA)
+
+
+def merge_sketch_table(
+    sketches: DataFrame, compression: float = 200.0
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Collect and algebraically merge a sketch table (KB-size rows — the
+    documented mergeable-sketch pattern, not a data collect)."""
+    digests = sketches.collect()
+    return tdigest_merge(
         [(np.asarray(r["means"]), np.asarray(r["weights"])) for r in digests],
         compression,
     )
+
+
+def tdigest_quantiles(
+    df: DataFrame,
+    column: str,
+    probs: Sequence[float] = tuple(DEFAULT_PROBS),
+    compression: float = 200.0,
+    groups: int = 64,
+) -> List[float]:
+    """One-shot distributed t-digest quantiles (build + merge +
+    interpolate); see :func:`tdigest_sketch_table` for the persisted
+    snapshot-drift variant."""
+    merged_m, merged_w = merge_sketch_table(
+        tdigest_sketch_table(df, column, compression, groups), compression
+    )
     return [tdigest_quantile(merged_m, merged_w, q) for q in probs]
+
+
+def drift_between_sketch_tables(
+    sketch_a: DataFrame,
+    sketch_b: DataFrame,
+    probs: Sequence[float] = tuple(DEFAULT_PROBS),
+    compression: float = 200.0,
+) -> List[Tuple[float, float, float, float]]:
+    """Quantile drift between two PERSISTED sketch tables (e.g. written at
+    two Iceberg snapshots): rows of (prob, q_a, q_b, abs_diff) computed
+    from the merged digests — no rescan of either snapshot."""
+    ma, wa = merge_sketch_table(sketch_a, compression)
+    mb, wb = merge_sketch_table(sketch_b, compression)
+    out = []
+    for p in probs:
+        qa = tdigest_quantile(ma, wa, p)
+        qb = tdigest_quantile(mb, wb, p)
+        out.append((p, qa, qb, abs(qa - qb)))
+    return out
 
 
 def quantile_drift(
