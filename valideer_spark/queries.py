@@ -464,6 +464,57 @@ FROM toks ORDER BY doc_id
 """
 
 
+def q_quality_score_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-score gate: the heuristic's double arithmetic is expressed
+    in the SAME operation order on both engines, so IEEE results are
+    bit-identical and the decimal(9,4)-string outputs hash-match."""
+    from .operators.text import quality_score
+
+    docs = load_table(spark, "documents", sf_dir)
+    return quality_score(docs).select(
+        "doc_id",
+        F.col("quality").cast("decimal(9,4)").cast("string").alias("quality"),
+    ).orderBy("doc_id")
+
+
+def _quality_oracle() -> str:
+    from .operators.text import STOPWORDS
+
+    stop_sql = ", ".join(
+        "'%s'" % w for ws in STOPWORDS.values() for w in ws
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, text, string_split({_NORM_SQL.format(col='text')}, ' ') AS t
+  FROM documents
+), feat AS (
+  SELECT doc_id,
+    CAST(length(text) AS DOUBLE) AS n,
+    CAST(length(text) - length(regexp_replace(text, '[a-zA-Z ]', '', 'g')) AS DOUBLE) AS n_alpha,
+    CAST(len(list_filter(t, x -> x IN ({stop_sql}))) AS BIGINT) AS stop_hits,
+    CAST(len(t) AS BIGINT) AS n_toks,
+    CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT) AS tok_chars
+  FROM toks
+), comp AS (
+  SELECT doc_id,
+    CASE WHEN n > 0 THEN n_alpha / n ELSE 0.0 END AS alpha_ratio,
+    CASE WHEN n_toks > 0 THEN CAST(stop_hits AS DOUBLE) / n_toks ELSE 0.0 END AS stop_ratio,
+    CASE WHEN n_toks > 0 THEN CAST(tok_chars AS DOUBLE) / n_toks ELSE 0.0 END AS mean_wordlen,
+    CASE WHEN n >= 50 AND n <= 20000 THEN 1.0 ELSE 0.3 END AS len_band,
+    n, n_toks
+  FROM feat
+)
+SELECT doc_id,
+  CAST(CAST(round(
+    0.35 * len_band
+    + 0.25 * least(alpha_ratio * 1.25, 1.0)
+    + 0.2 * least(stop_ratio * 5.0, 1.0)
+    + 0.2 * (CASE WHEN mean_wordlen >= 3 AND mean_wordlen <= 12 THEN 1.0 ELSE 0.4 END)
+  , 4) AS DECIMAL(9,4)) AS VARCHAR) AS quality
+FROM comp ORDER BY doc_id
+"""
+
+
 def q_language_guess_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.text import language_guess
 
@@ -657,6 +708,7 @@ QUERIES.update(
         "minhash_verified_pairs": q_minhash_verified_pairs,
         "text_stats_documents": q_text_stats_documents,
         "token_count_documents": q_token_count_documents,
+        "quality_score_documents": q_quality_score_documents,
         "language_guess_documents": q_language_guess_documents,
         "cosine_topk_embeddings": q_cosine_topk_embeddings,
         "minhash_lsh_documents": q_minhash_lsh_documents,
@@ -675,6 +727,7 @@ ORACLES.update(
         "minhash_verified_pairs": ORACLE_MINHASH_VERIFIED_PAIRS,
         "text_stats_documents": ORACLE_TEXT_STATS_DOCUMENTS,
         "token_count_documents": ORACLE_TOKEN_COUNT_DOCUMENTS,
+        "quality_score_documents": _quality_oracle(),
         "language_guess_documents": _lang_oracle(),
         "cosine_topk_embeddings": ORACLE_COSINE_TOPK_EMBEDDINGS,
         "ann_lsh_embeddings": ORACLE_ANN_LSH_EMBEDDINGS,
