@@ -188,3 +188,29 @@ def test_winnowing_fingerprints(spark, docs_df):
     )
     fp7 = winnowing_fingerprints(small).collect()[0]["fingerprints"]
     assert len(fp7) == 1
+
+
+def test_ivf_clustered_recall(spark):
+    """IVF on data WITH cluster structure: 5 tight clusters, probe only
+    the nearest 1 of 5 lists, recall of the query's cluster is perfect."""
+    import numpy as np
+
+    from valideer_spark.operators.similarity import cosine_topk, ivf_index, ivf_topk
+
+    rng = np.random.RandomState(3)
+    centers = rng.normal(0, 10, (5, 16))
+    vecs, ids = [], []
+    for i in range(200):
+        c = i % 5
+        vecs.append(centers[c] + rng.normal(0, 0.1, 16))
+        ids.append(i)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in zip(ids, vecs)],
+        ["vec_id", "embedding"],
+    )
+    query = [float(x) for x in centers[2]]
+
+    assigned, kcenters = ivf_index(df, n_lists=5, seed=42)
+    ann = {r["id"] for r in ivf_topk(assigned, kcenters, query, k=10, n_probe=1).collect()}
+    exact = {r["id"] for r in cosine_topk(df, query, k=10).collect()}
+    assert ann == exact  # single-probe perfect recall on clustered data

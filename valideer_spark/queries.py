@@ -986,6 +986,34 @@ ORDER BY doc_id
 QUERIES["first_violating_span"] = q_first_violating_span
 ORACLES["first_violating_span"] = ORACLE_FIRST_VIOLATING_SPAN
 
+
+def q_ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN recall gate: k-means coarse quantizer (seeded,
+    deterministic), probe the 6 nearest of 16 inverted lists, score
+    exactly; assert the deterministic recall vs the oracled exact top-20.
+    This corpus is UNSTRUCTURED (top cosine ~0.37, neighbors spread
+    across lists), so the calibrated floor is 15/20 — on clustered
+    embeddings the same index reaches ~1.0 recall with fewer probes
+    (tests/test_training_ops.py::test_ivf_clustered_recall)."""
+    from .operators.similarity import cosine_topk, ivf_index, ivf_topk
+
+    embs = load_table(spark, "embeddings", sf_dir)
+    query = embs.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    base = embs.filter(F.col("vec_id") != 0)
+    assigned, centers = ivf_index(base, n_lists=16, seed=42)
+    ann = ivf_topk(assigned, centers, query, k=20, n_probe=6).select("id")
+    exact = cosine_topk(base, query, k=20).select("id")
+    return ann.join(exact, "id").agg(F.count(F.lit(1)).alias("n_hits")).select(
+        F.lit(20).alias("k"),
+        (F.col("n_hits") >= 15).alias("recall_ok"),
+    )
+
+
+ORACLE_IVF_TOPK_EMBEDDINGS = "SELECT 20 AS k, TRUE AS recall_ok"
+
+QUERIES["ivf_topk_embeddings"] = q_ivf_topk_embeddings
+ORACLES["ivf_topk_embeddings"] = ORACLE_IVF_TOPK_EMBEDDINGS
+
 QUERIES["simhash_near_dups"] = q_simhash_near_dups
 QUERIES["simhash_seeded_recall"] = q_simhash_seeded_recall
 QUERIES["winnowing_fingerprints"] = q_winnowing_fingerprints
