@@ -235,6 +235,58 @@ def cosine_self_join_topk(
     )
 
 
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 16,
+    n_bands: int = 4,
+    max_bucket: int = 10000,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS: banded-LSH candidates
+    (bounded buckets, identical vectors are guaranteed candidates — equal
+    keys in every band) verified by exact cosine >= threshold.
+
+    Output (a_id, b_id) with a_id < b_id. The verification pass is linear
+    in candidate count; recall for non-identical pairs follows the LSH
+    amplification curve (tune bands/bits per corpus)."""
+    src = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    dim = len(src.select("vec").first()["vec"])
+    planes = _hyperplanes(dim, n_planes, seed)
+    keyed = src.select(
+        "id",
+        "vec",
+        F.posexplode(lsh_band_keys(F.col("vec"), planes, n_bands)).alias(
+            "band_idx", "band_key"
+        ),
+    )
+    counts = keyed.groupBy("band_idx", "band_key").agg(F.count(F.lit(1)).alias("_n"))
+    bounded = keyed.join(
+        counts.filter(F.col("_n") <= max_bucket), ["band_idx", "band_key"]
+    ).select("id", "band_idx", "band_key")
+    lhs, rhs = bounded.alias("l"), bounded.alias("r")
+    cand = (
+        lhs.join(
+            rhs,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("a_id"), F.col("r.id").alias("b_id"))
+        .distinct()
+    )
+    va = src.select(F.col("id").alias("a_id"), F.col("vec").alias("vec_a"))
+    vb = src.select(F.col("id").alias("b_id"), F.col("vec").alias("vec_b"))
+    return (
+        cand.join(va, "a_id")
+        .join(vb, "b_id")
+        .filter(cosine(F.col("vec_a"), F.col("vec_b")) >= threshold)
+        .select("a_id", "b_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN: k-means coarse quantizer + probed lists
 # ---------------------------------------------------------------------------

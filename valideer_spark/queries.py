@@ -1014,6 +1014,82 @@ ORACLE_IVF_TOPK_EMBEDDINGS = "SELECT 20 AS k, TRUE AS recall_ok"
 QUERIES["ivf_topk_embeddings"] = q_ivf_topk_embeddings
 ORACLES["ivf_topk_embeddings"] = ORACLE_IVF_TOPK_EMBEDDINGS
 
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup dedup under a FULL oracle: seed exact
+    duplicate vectors (vec_id + 1000000 for vec_id % 10 == 0), find pairs
+    with cosine >= 0.999 via banded-LSH candidates + exact verify.
+    Identical vectors share every band key, so recall on the seeded pairs
+    is guaranteed, and this corpus's natural max cosine (~0.37) keeps the
+    threshold unambiguous — DuckDB recomputes the exact pair set."""
+    from .operators.similarity import cosine_near_dup_pairs
+
+    embs = load_table(spark, "embeddings", sf_dir)
+    dupes = embs.filter(F.col("vec_id") % 10 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 1000000
+    )
+    df = embs.unionAll(dupes)
+    return cosine_near_dup_pairs(df, threshold=0.999).orderBy("a_id", "b_id")
+
+
+ORACLE_EMBEDDING_NEAR_DUPS = """
+WITH vecs AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0
+), norms AS (
+  SELECT vec_id, embedding,
+    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM vecs
+)
+SELECT a.vec_id AS a_id, b.vec_id AS b_id
+FROM norms a JOIN norms b ON a.vec_id < b.vec_id
+WHERE list_sum(list_transform(range(1, len(a.embedding) + 1),
+        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+      / (a.nrm * b.nrm) >= 0.999
+ORDER BY a_id, b_id
+"""
+
+QUERIES["embedding_near_dups"] = q_embedding_near_dups
+ORACLES["embedding_near_dups"] = ORACLE_EMBEDDING_NEAR_DUPS
+
+
+def q_fingerprint_seeded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_fingerprint gate: every seeded duplicate pair must agree on
+    both the content hash and the min k-gram hash; DuckDB enumerates the
+    expected pairs from the base table."""
+    from .operators.text import doc_fingerprint
+
+    df = _documents_with_dupes(spark, sf_dir)
+    fp = doc_fingerprint(df)
+    a = fp.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("content_hash").alias("ch_a"),
+        F.col("min_kgram_hash").alias("mk_a"),
+    )
+    b = fp.select(
+        (F.col("doc_id") - 1000000).alias("a_id"),
+        F.col("content_hash").alias("ch_b"),
+        F.col("min_kgram_hash").alias("mk_b"),
+    ).filter(F.col("a_id") >= 0)
+    joined = a.join(b, "a_id")
+    return joined.select(
+        "a_id",
+        (F.col("ch_a") == F.col("ch_b")).alias("content_hash_match"),
+        (
+            F.col("mk_a").eqNullSafe(F.col("mk_b"))
+        ).alias("min_kgram_match"),
+    ).orderBy("a_id")
+
+
+ORACLE_FINGERPRINT_SEEDED_PAIRS = """
+SELECT doc_id AS a_id, TRUE AS content_hash_match, TRUE AS min_kgram_match
+FROM documents WHERE doc_id % 10 = 0 ORDER BY a_id
+"""
+
+QUERIES["fingerprint_seeded_pairs"] = q_fingerprint_seeded_pairs
+ORACLES["fingerprint_seeded_pairs"] = ORACLE_FINGERPRINT_SEEDED_PAIRS
+
 QUERIES["simhash_near_dups"] = q_simhash_near_dups
 QUERIES["simhash_seeded_recall"] = q_simhash_seeded_recall
 QUERIES["winnowing_fingerprints"] = q_winnowing_fingerprints
