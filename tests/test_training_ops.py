@@ -214,3 +214,38 @@ def test_ivf_clustered_recall(spark):
     ann = {r["id"] for r in ivf_topk(assigned, kcenters, query, k=10, n_probe=1).collect()}
     exact = {r["id"] for r in cosine_topk(df, query, k=10).collect()}
     assert ann == exact  # single-probe perfect recall on clustered data
+
+
+def test_resize_and_frame_sample_plumbing(spark):
+    """mapInPandas resize (1:1) and frame sampling (1:N) over binary
+    payloads: schemas, determinism and row-expansion shapes are real;
+    pixel/demux kernels are stubbed (no PIL/ffmpeg in the container)."""
+    from valideer_spark.operators.multimodal import resize_images, sample_frames
+    from valideer_spark.operators import synth_media_payloads
+    from valideer_spark.sources import synth_docs
+
+    payloads = synth_media_payloads(synth_docs(spark, 200))
+    n_media = payloads.count()
+
+    resized = resize_images(payloads, 32, 32)
+    rows = resized.collect()
+    assert len(rows) == n_media  # 1:1
+    imgs = [r for r in rows if r["width"] == 32]
+    assert imgs and all(len(r["payload"]) == 32 * 32 * 3 for r in imgs)
+    others = [r for r in rows if r["width"] == 0]
+    assert all(r["height"] == 0 for r in others)
+
+    frames = sample_frames(payloads, every_ms=1000, max_frames=4)
+    frows = frames.collect()
+    n_videos = payloads.filter(F.col("media_kind") == "video").count()
+    assert 0 < n_videos <= len(frows) <= 4 * n_videos  # 1:N expansion
+    per_ref = {}
+    for r in frows:
+        per_ref.setdefault(r["media_ref"], []).append(r)
+    for ref, rs in per_ref.items():
+        idxs = sorted(x["frame_idx"] for x in rs)
+        assert idxs == list(range(len(rs)))  # contiguous frame indices
+        assert all(x["ts_ms"] == x["frame_idx"] * 1000 for x in rs)
+    # determinism
+    again = {(r["media_ref"], r["frame_idx"], bytes(r["frame"])) for r in frames.collect()}
+    assert again == {(r["media_ref"], r["frame_idx"], bytes(r["frame"])) for r in frows}

@@ -25,7 +25,12 @@ from .text import (
     text_stats,
     token_count,
 )
-from .multimodal import extract_media_metadata, synth_media_payloads
+from .multimodal import (
+    extract_media_metadata,
+    resize_images,
+    sample_frames,
+    synth_media_payloads,
+)
 from .setops import domain_diff, domain_values
 
 __all__ = [
@@ -55,6 +60,8 @@ __all__ = [
     "text_stats",
     "token_count",
     "extract_media_metadata",
+    "resize_images",
+    "sample_frames",
     "domain_diff",
     "domain_values",
     "synth_media_payloads",

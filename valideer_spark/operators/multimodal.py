@@ -110,6 +110,133 @@ def extract_media_metadata(
     return src.mapInPandas(process, schema=MEDIA_META_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    target_w: int,
+    target_h: int,
+    payload_col: str = "payload",
+    ref_col: str = "media_ref",
+    kind_col: str = "media_kind",
+    decode_stub: str = "fake",
+) -> DataFrame:
+    """Resize the image payloads to (target_w, target_h) via Arrow-batched
+    ``mapInPandas`` — non-image rows pass through untouched dimensions.
+
+    The PIXEL transform is stubbed (PIL absent in this container): the
+    fake codec re-derives a deterministic payload of size proportional to
+    target_w*target_h from the content hash, so batch shapes, schema and
+    partition behavior are production-real. Swap ``_fake_resize`` for
+    ``PIL.Image.resize`` in deployment.
+    """
+    import pandas as pd
+
+    if decode_stub not in ("fake", "raise"):
+        raise ValueError("decode_stub must be 'fake' or 'raise'")
+
+    def _fake_resize(payload: bytes) -> bytes:
+        digest = hashlib.sha256(payload).digest()
+        # deterministic stand-in "pixel buffer": 3 bytes/px, hash-tiled
+        n = target_w * target_h * 3
+        return (digest * (n // len(digest) + 1))[:n]
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_ref": [], "width": [], "height": [], "payload": []}
+            for ref, kind, payload in zip(
+                pdf[ref_col], pdf[kind_col], pdf[payload_col]
+            ):
+                if decode_stub == "raise":
+                    raise NotImplementedError(
+                        "real image codecs (PIL) are not installed; use "
+                        "decode_stub='fake'"
+                    )
+                payload = bytes(payload) if payload is not None else b""
+                out["media_ref"].append(ref)
+                if kind == "image":
+                    out["width"].append(target_w)
+                    out["height"].append(target_h)
+                    out["payload"].append(_fake_resize(payload))
+                else:
+                    out["width"].append(0)
+                    out["height"].append(0)
+                    out["payload"].append(payload)
+            yield pd.DataFrame(out)
+
+    return df.select(ref_col, kind_col, payload_col).mapInPandas(
+        process, schema=RESIZED_SCHEMA
+    )
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("ts_ms", T.LongType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    every_ms: int = 1000,
+    max_frames: int = 8,
+    payload_col: str = "payload",
+    ref_col: str = "media_ref",
+    kind_col: str = "media_kind",
+    decode_stub: str = "fake",
+) -> DataFrame:
+    """Sample frames from video payloads (1:N row expansion through
+    ``mapInPandas`` — the batch-iterator shape a real ffmpeg demuxer
+    needs). Frame COUNT derives from the fake-decoded duration; frame
+    bytes are deterministic content-hash slices. Non-video rows produce
+    no output rows."""
+    import pandas as pd
+
+    if decode_stub not in ("fake", "raise"):
+        raise ValueError("decode_stub must be 'fake' or 'raise'")
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_ref": [], "frame_idx": [], "ts_ms": [], "frame": []}
+            for ref, kind, payload in zip(
+                pdf[ref_col], pdf[kind_col], pdf[payload_col]
+            ):
+                if kind != "video":
+                    continue
+                if decode_stub == "raise":
+                    raise NotImplementedError(
+                        "real video codecs (ffmpeg) are not installed; use "
+                        "decode_stub='fake'"
+                    )
+                payload = bytes(payload) if payload is not None else b""
+                meta = _fake_decode(payload, "video")
+                n_frames = min(max_frames, max(1, meta["duration_ms"] // every_ms))
+                digest = hashlib.sha256(payload).digest()
+                for i in range(int(n_frames)):
+                    out["media_ref"].append(ref)
+                    out["frame_idx"].append(i)
+                    out["ts_ms"].append(i * every_ms)
+                    out["frame"].append(
+                        hashlib.sha256(digest + i.to_bytes(4, "big")).digest()
+                    )
+            yield pd.DataFrame(out)
+
+    return df.select(ref_col, kind_col, payload_col).mapInPandas(
+        process, schema=FRAME_SCHEMA
+    )
+
+
 def synth_media_payloads(docs: DataFrame) -> DataFrame:
     """Deterministic fake binary payloads for every media span — exercises
     the binary-column plumbing without external data."""
