@@ -110,3 +110,19 @@ def test_verdict_rollup_single_agg(spark):
     assert total[0]["n_valid"] == sum(r["n_valid"] for r in parts)
     plan = rep.verdict_rollup()._jdf.queryExecution().executedPlan().toString()
     assert "Expand" in plan  # grouping sets, single aggregation tree
+
+
+def test_expect_frame_schema(spark):
+    """Submit-time frame assertion: missing required columns raise
+    SchemaError before any scan; optional/extra columns pass."""
+    import pytest
+
+    from valideer_spark.core import SchemaError
+    from valideer_spark.plans import expect_frame_schema
+
+    df = spark.range(1).selectExpr("'x' AS doc_id", "CAST(NULL AS STRING) AS extra")
+    expect_frame_schema(df, {"+doc_id": "string", "?opt": "integer"})
+    with pytest.raises(SchemaError, match="missing required columns.*spans"):
+        expect_frame_schema(df, {"+doc_id": "string", "+spans": ["string"]})
+    # non-object schema: nothing to assert structurally
+    expect_frame_schema(df, "string")

@@ -8,7 +8,7 @@ from .lowering import (
     lower,
     translate_python_regex,
 )
-from .frame import FramePlan, compile_plan
+from .frame import FramePlan, compile_plan, expect_frame_schema
 
 __all__ = [
     "VIOLATION_TYPE",
@@ -19,4 +19,5 @@ __all__ = [
     "translate_python_regex",
     "FramePlan",
     "compile_plan",
+    "expect_frame_schema",
 ]

@@ -109,3 +109,34 @@ def compile_plan(schema: Any, df_or_schema) -> FramePlan:
         df_or_schema.schema if isinstance(df_or_schema, DataFrame) else df_or_schema
     )
     return FramePlan(validator=validator, lowered=lower(validator, struct))
+
+
+def expect_frame_schema(df_or_schema, schema: Any) -> None:
+    """DataFrame-level analog of ``@accepts`` (SURVEY §2.6): raise
+    SchemaError at SUBMIT time when the frame cannot satisfy the
+    validator's required top-level properties — a missing required column
+    would otherwise fail EVERY row at run time on a 100 TB scan.
+
+    Optional properties and additional columns are fine (the engine's
+    Object semantics apply per row); only structurally-impossible frames
+    are rejected here.
+    """
+    from ..core.checks import NonNullable, Nullable, Object
+    from ..core.errors import SchemaError
+
+    validator = parse(schema)
+    unwrapped = validator
+    while isinstance(unwrapped, (Nullable, NonNullable)):
+        unwrapped = unwrapped._validator
+    if not isinstance(unwrapped, Object):
+        return  # non-object schemas validate whatever row struct arrives
+    struct = (
+        df_or_schema.schema if isinstance(df_or_schema, DataFrame) else df_or_schema
+    )
+    cols = {f.name for f in struct.fields}
+    missing = sorted(k for k in unwrapped._required_keys if k not in cols)
+    if missing:
+        raise SchemaError(
+            "frame is missing required columns %s (has %s)"
+            % (missing, sorted(cols))
+        )
