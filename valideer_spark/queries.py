@@ -1001,7 +1001,7 @@ def q_ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     query = embs.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     base = embs.filter(F.col("vec_id") != 0)
     assigned, centers = ivf_index(base, n_lists=16, seed=42)
-    ann = ivf_topk(assigned, centers, query, k=20, n_probe=6).select("id")
+    ann = ivf_topk(assigned, centers, query, k=20, n_probe=8).select("id")
     exact = cosine_topk(base, query, k=20).select("id")
     return ann.join(exact, "id").agg(F.count(F.lit(1)).alias("n_hits")).select(
         F.lit(20).alias("k"),
