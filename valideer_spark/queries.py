@@ -1090,6 +1090,150 @@ FROM documents WHERE doc_id % 10 = 0 ORDER BY a_id
 QUERIES["fingerprint_seeded_pairs"] = q_fingerprint_seeded_pairs
 ORACLES["fingerprint_seeded_pairs"] = ORACLE_FINGERPRINT_SEEDED_PAIRS
 
+
+# ---------------------------------------------------------------------------
+# event-stream analytics over the events table (time windows, JSON, lag)
+# ---------------------------------------------------------------------------
+
+def q_events_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows per event type (the batch twin
+    of the Structured Streaming windowed agg). Sums are integer CENTS so
+    the parallel double-sum ordering cannot perturb the hash."""
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").getField("start").cast("string").alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("total_cents"),
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+ORACLE_EVENTS_WINDOW_COUNTS = """
+SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start,
+       event_type,
+       count(*) AS n,
+       sum(CAST(round(value * 100) AS BIGINT)) AS total_cents
+FROM events
+GROUP BY 1, 2 ORDER BY window_start, event_type
+"""
+
+
+def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar-function surface: extract props.k and aggregate."""
+    ev = load_table(spark, "events", sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(k).alias("k_sum"),
+            F.min(k).alias("k_min"),
+            F.max(k).alias("k_max"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_EVENTS_JSON_PROPS = """
+SELECT event_type,
+       count(*) AS n,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via lag + running sum (30-minute inactivity gap):
+    per-user session counts and the largest session size — the classic
+    event-stream window pattern, identical SQL on both engines."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # microsecond-exact gap on the NTZ timestamps (no timezone anywhere;
+    # second-level truncation differs between engines' diff semantics)
+    with_prev = ev.withColumn("prev_ts", F.lag("ts").over(w))
+    gap_us = F.expr("timestampdiff(MICROSECOND, prev_ts, ts)")
+    new_session = F.when(gap_us.isNull() | (gap_us > 1800 * 1000000), 1).otherwise(0)
+    sessions = with_prev.withColumn("session_idx", F.sum(new_session).over(w))
+    per_session = sessions.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return (
+        per_session.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.max("n_events").alias("max_session_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE_EVENTS_SESSIONIZATION = """
+WITH gaps AS (
+  SELECT user_id, event_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+              OR date_diff('microsecond', lag(ts) OVER w, ts) > 1800 * 1000000
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT user_id,
+    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM gaps
+), per_session AS (
+  SELECT user_id, session_idx, count(*) AS n_events
+  FROM sessions GROUP BY 1, 2
+)
+SELECT user_id, count(*) AS n_sessions, max(n_events) AS max_session_events
+FROM per_session GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q_approx_distinct_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ accuracy gate: approx_count_distinct at rsd=0.05 must land
+    within 5x the rsd of the exact distinct count (a deterministic sketch
+    for fixed input); the oracle recomputes the exact count and asserts
+    the bound the engine claims."""
+    li = load_table(spark, "lineitem", sf_dir)
+    agg = li.agg(
+        F.approx_count_distinct("l_partkey", 0.05).alias("approx"),
+        F.countDistinct("l_partkey").alias("exact"),
+    )
+    return agg.select(
+        F.lit("l_partkey").alias("column"),
+        "exact",
+        (
+            F.abs(F.col("approx") - F.col("exact"))
+            <= 0.25 * F.col("exact")
+        ).alias("within_bound"),
+    )
+
+
+ORACLE_APPROX_DISTINCT_BOUND = """
+SELECT 'l_partkey' AS "column",
+       count(DISTINCT l_partkey) AS exact,
+       TRUE AS within_bound
+FROM lineitem
+"""
+
+QUERIES["events_window_counts"] = q_events_window_counts
+ORACLES["events_window_counts"] = ORACLE_EVENTS_WINDOW_COUNTS
+QUERIES["events_json_props"] = q_events_json_props
+ORACLES["events_json_props"] = ORACLE_EVENTS_JSON_PROPS
+QUERIES["events_sessionization"] = q_events_sessionization
+ORACLES["events_sessionization"] = ORACLE_EVENTS_SESSIONIZATION
+QUERIES["approx_distinct_bound"] = q_approx_distinct_bound
+ORACLES["approx_distinct_bound"] = ORACLE_APPROX_DISTINCT_BOUND
+
 QUERIES["simhash_near_dups"] = q_simhash_near_dups
 QUERIES["simhash_seeded_recall"] = q_simhash_seeded_recall
 QUERIES["winnowing_fingerprints"] = q_winnowing_fingerprints
