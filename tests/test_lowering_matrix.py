@@ -440,3 +440,18 @@ def test_anyof_mixed_out_types_native_predicate(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "EvalPython" not in plan
+
+
+def test_heterogeneous_mixed_adapt_types(spark):
+    """Tuple positions adapting to different types: predicate/violations
+    native; adapted elements render as strings (array form — the struct
+    form keeps exact per-field types)."""
+    v = V.HeterogeneousSequence(V.AdaptTo(int, traps=(ValueError, TypeError)),
+                                "string")
+    run_case(spark, v, T.ArrayType(T.StringType()),
+             [["12", "x"], ["nope", "y"], ["1"], None],
+             check_adapted=False, check_messages=False)
+    node = lower(V.parse(v), T.ArrayType(T.StringType()))
+    df = spark.createDataFrame([(["12", "x"],)], "x array<string>")
+    row = df.select(node.adapt(F.col("x")).alias("a")).first()
+    assert row["a"] == ["12", "x"]  # int 12 rendered into the string array

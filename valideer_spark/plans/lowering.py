@@ -1032,7 +1032,16 @@ def _lower_heterogeneous_sequence(
     items = [lower(s, dtype.elementType) for s in v._item_validators]
     n = len(items)
     out_types = {i.out_type.simpleString() for i in items}
-    out_elem = items[0].out_type if len(out_types) == 1 and items else dtype.elementType
+    # positions adapting to DIFFERENT types cannot share one array element
+    # type — render each adapted element as string (the positional-STRUCT
+    # form of this validator keeps exact per-field types; use it when the
+    # adapted types matter)
+    mixed = len(out_types) > 1
+    out_elem = (
+        items[0].out_type
+        if len(out_types) == 1 and items
+        else (T.StringType() if mixed else dtype.elementType)
+    )
 
     checks = _type_checks(v, dtype, True)
     checks.append(
@@ -1053,9 +1062,10 @@ def _lower_heterogeneous_sequence(
         return _nullsafe(p)
 
     def adapt(col: Column) -> Column:
-        return F.array(
-            *[node.adapt(F.get(col, i)) for i, node in enumerate(items)]
-        )
+        elems = [node.adapt(F.get(col, i)) for i, node in enumerate(items)]
+        if mixed:
+            elems = [e.cast("string") for e in elems]
+        return F.array(*elems)
 
     def violations(col: Column, path: Column) -> Column:
         own_v = own.violations(col, path)
