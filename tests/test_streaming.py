@@ -89,3 +89,72 @@ def test_stateful_dedup_stream(spark, tmp_path):
     out2 = run_available()
     got2 = {r["doc_id"] for r in out2.collect()}
     assert got2 == {"a", "c", "e"}  # d dropped: key seen in batch 1
+
+
+def test_windowed_counts_with_watermark(spark, tmp_path):
+    """Event-time windows + watermark: a window emits once the watermark
+    passes its end, and an event arriving behind the watermark is
+    dropped (append-mode bounded-state contract)."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from valideer_spark.streaming import windowed_event_counts
+
+    input_dir = str(tmp_path / "ev_in")
+    out_dir = str(tmp_path / "ev_out")
+    ckpt = str(tmp_path / "ev_ckpt")
+    os.makedirs(input_dir)
+    schema = T.StructType(
+        [T.StructField("ts", T.TimestampType()), T.StructField("event_type", T.StringType())]
+    )
+
+    def drop(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(input_dir)
+
+    def run_available():
+        stream = spark.readStream.schema(schema).parquet(input_dir)
+        q = (
+            windowed_event_counts(stream, window="10 minutes", watermark="5 minutes")
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        try:
+            return spark.read.parquet(out_dir)
+        except Exception:
+            return None
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    # batch 1: three clicks in window [00:00, 00:10)
+    drop([(t0 + dt.timedelta(minutes=m), "click") for m in (1, 2, 3)])
+    run_available()
+
+    # batch 2: an event at 00:30 pushes the watermark to 00:25 (> 00:10,
+    # so W1 closes and emits) AND a LATE click at 00:04 that must be
+    # dropped — it is behind the watermark established by batch 1? no:
+    # watermark after batch 1 is 00:03 - 5m < W1 end, so W1 was NOT
+    # emitted in batch 1; the late event in batch 2 arrives while the
+    # batch-2 watermark (from batch 1's max 00:03) is still open, so
+    # Spark ingests it before advancing — send the straggler in batch 3
+    # instead, when the watermark is firmly at 00:25.
+    drop([(t0 + dt.timedelta(minutes=30), "view")])
+    out2 = run_available()
+    w1 = [r for r in out2.collect() if r["window_start"] == t0]
+    assert len(w1) == 1 and w1[0]["n"] == 3  # W1 closed with on-time events
+
+    # batch 3: straggler at 00:04 — behind the 00:25 watermark → dropped;
+    # and a 01:00 event to advance the watermark past the 00:30 window
+    drop([(t0 + dt.timedelta(minutes=4), "click"),
+          (t0 + dt.timedelta(minutes=60), "view")])
+    out3 = run_available()
+    rows = {(r["window_start"], r["event_type"]): r["n"] for r in out3.collect()}
+    assert rows[(t0, "click")] == 3  # unchanged: straggler dropped
+    assert (t0 + dt.timedelta(minutes=30), "view") in rows  # W: [00:30,00:40)

@@ -80,3 +80,31 @@ def dedup_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def windowed_event_counts(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "30 minutes",
+    keys: tuple = ("event_type",),
+) -> DataFrame:
+    """Event-time tumbling-window counts with a late-data watermark.
+
+    Append-mode semantics: a window only emits once the watermark (max
+    observed event time minus ``watermark``) passes its end, and events
+    arriving later than the watermark are DROPPED — the bounded-state
+    contract that lets this run forever on an unbounded stream. The batch
+    twin (same results on complete data) is the ``events_window_counts``
+    gate query.
+    """
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), *keys)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            *keys,
+            "n",
+        )
+    )
