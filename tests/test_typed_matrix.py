@@ -126,3 +126,16 @@ def test_expect_frame_schema(spark):
         expect_frame_schema(df, {"+doc_id": "string", "+spans": ["string"]})
     # non-object schema: nothing to assert structurally
     expect_frame_schema(df, "string")
+
+
+def test_typed_plan_has_no_python_nodes(spark):
+    """The full 16-validator typed predicate stays JVM-side: every family
+    in the matrix lowers natively (the kernel fallback would appear as an
+    ArrowEvalPython node)."""
+    eng = ValidationEngine(typed_schema(), id_col="rec_id")
+    df = typed_rows(spark, 100)
+    plan = (
+        eng.check(df).annotated.select("_valid")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "EvalPython" not in plan
