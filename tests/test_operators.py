@@ -150,3 +150,13 @@ def test_salted_orphan_rows_matches_plain(spark):
     plain = sorted(r["fk"] for r in orphan_rows(fact, "fk", ref, "k").collect())
     salted = sorted(r["fk"] for r in salted_orphan_rows(fact, "fk", ref, "k", salt=8).collect())
     assert plain == salted and len(plain) > 0
+
+
+def test_histogram_and_top_values(spark):
+    from valideer_spark.operators import column_histogram, top_values
+
+    df = spark.range(100).selectExpr("CAST(id % 10 AS DOUBLE) AS v")
+    hist = {r["bucket"]: r["n"] for r in column_histogram(df, "v", 5, -0.5, 9.5).collect()}
+    assert sum(hist.values()) == 100 and len(hist) == 5  # 2 values per bin
+    top = top_values(df.filter("v < 3"), "v", k=2).collect()
+    assert [r["value"] for r in top] == [0.0, 1.0]  # tie broken by value

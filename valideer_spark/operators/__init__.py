@@ -1,4 +1,4 @@
-from .stats import column_profile
+from .stats import column_histogram, column_profile, top_values
 from .uniqueness import duplicate_keys
 from .referential import orphan_keys, orphan_rows, salted_orphan_rows
 from .drift import (
@@ -35,6 +35,8 @@ from .setops import domain_diff, domain_values
 
 __all__ = [
     "column_profile",
+    "column_histogram",
+    "top_values",
     "duplicate_keys",
     "orphan_rows",
     "salted_orphan_rows",

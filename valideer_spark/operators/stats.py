@@ -55,3 +55,37 @@ def column_profile(
         wide.select(F.explode(F.array(*stacks)).alias("s"))
         .select("s.*")
     )
+
+
+def column_histogram(
+    df: DataFrame,
+    column: str,
+    bins: int,
+    min_value: float,
+    max_value: float,
+) -> DataFrame:
+    """Fixed-width histogram of a numeric column: (bucket, n) with bucket
+    0 = below range, bins+1 = above (width_bucket semantics). One
+    map-side-combinable aggregation on a ≤ bins+2-key group — shuffle is
+    O(bins), not O(rows); empty buckets are omitted."""
+    b = F.width_bucket(F.col(column), F.lit(min_value), F.lit(max_value), F.lit(bins))
+    return (
+        df.filter(F.col(column).isNotNull())
+        .groupBy(b.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def top_values(
+    df: DataFrame, column: str, k: int = 10
+) -> DataFrame:
+    """Exact top-k most frequent values of a column: hash agg then
+    TakeOrderedAndProject (per-partition top-k + k-row driver merge, no
+    full sort). Ties break by value for determinism."""
+    return (
+        df.filter(F.col(column).isNotNull())
+        .groupBy(F.col(column).alias("value"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("value"))
+        .limit(k)
+    )

@@ -1225,6 +1225,48 @@ SELECT 'l_partkey' AS "column",
 FROM lineitem
 """
 
+def q_lineitem_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of l_quantity (10 bins over (0.5, 50.5) —
+    bin edges fall BETWEEN the integer quantities, so the two engines'
+    width_bucket formulas cannot disagree on boundary rounding)."""
+    from .operators.stats import column_histogram
+
+    li = load_table(spark, "lineitem", sf_dir)
+    return column_histogram(li, "l_quantity", bins=10, min_value=0.5,
+                            max_value=50.5).orderBy("bucket")
+
+
+ORACLE_LINEITEM_HISTOGRAM = """
+SELECT CASE WHEN l_quantity < 0.5 THEN 0
+            WHEN l_quantity >= 50.5 THEN 11
+            ELSE CAST(floor((l_quantity - 0.5) / 50.0 * 10) AS BIGINT) + 1 END AS bucket,
+       count(*) AS n
+FROM lineitem WHERE l_quantity IS NOT NULL
+GROUP BY 1 ORDER BY bucket
+"""
+
+
+def q_lineitem_top_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 most frequent l_quantity values (ties by value)."""
+    from .operators.stats import top_values
+
+    li = load_table(spark, "lineitem", sf_dir)
+    return top_values(li, "l_quantity", k=10).select(
+        F.col("value").cast("decimal(18,2)").cast("string").alias("value"), "n"
+    )
+
+
+ORACLE_LINEITEM_TOP_VALUES = """
+SELECT CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR) AS value, count(*) AS n
+FROM lineitem WHERE l_quantity IS NOT NULL
+GROUP BY l_quantity ORDER BY n DESC, l_quantity ASC LIMIT 10
+"""
+
+QUERIES["lineitem_histogram"] = q_lineitem_histogram
+ORACLES["lineitem_histogram"] = ORACLE_LINEITEM_HISTOGRAM
+QUERIES["lineitem_top_values"] = q_lineitem_top_values
+ORACLES["lineitem_top_values"] = ORACLE_LINEITEM_TOP_VALUES
+
 QUERIES["events_window_counts"] = q_events_window_counts
 ORACLES["events_window_counts"] = ORACLE_EVENTS_WINDOW_COUNTS
 QUERIES["events_json_props"] = q_events_json_props
