@@ -72,3 +72,18 @@ def test_no_drift(spark):
     assert not shifted.verdicts().collect()[0]["pass"]
     same = ConstraintSuite([NoDrift("v", against=a, max_abs_diff=10.0)]).check(a)
     assert same.verdicts().collect()[0]["pass"]
+
+
+def test_functional_dependency(spark):
+    from valideer_spark.constraints import ConstraintSuite, FunctionalDependency
+
+    df = spark.createDataFrame(
+        [(1, "a", 10), (1, "a", 11), (2, "b", 20), (2, "c", 21), (3, None, 30)],
+        ["k", "dep", "other"],
+    )
+    suite = ConstraintSuite([FunctionalDependency("k", "dep")])
+    report = suite.check(df)
+    v = {r["key"]: r["detail"] for r in report.violations().collect()}
+    assert v == {"2": "2 distinct dependent values"}
+    verdicts = {r["constraint"]: r["pass"] for r in report.verdicts().collect()}
+    assert verdicts == {"fd:k->dep": False}

@@ -178,6 +178,39 @@ class StatsBounds(TableConstraint):
 
 
 @dataclass
+class FunctionalDependency(TableConstraint):
+    """``determinant -> dependent``: every determinant value must map to
+    exactly one dependent value (the classic FD data-quality check, e.g.
+    order key -> customer key). One hash aggregation grouped by the
+    determinant with an exact distinct count of the dependent — shuffle
+    keys are the determinant values (salt upstream if the FD key is
+    skewed); violating keys are reported with their dependent-value
+    cardinality."""
+
+    determinant: str
+    dependent: str
+
+    @property
+    def name(self) -> str:
+        return f"fd:{self.determinant}->{self.dependent}"
+
+    def violations(self, df: DataFrame) -> DataFrame:
+        grouped = (
+            df.filter(F.col(self.determinant).isNotNull())
+            .groupBy(self.determinant)
+            .agg(F.countDistinct(self.dependent).alias("n_dependents"))
+            .filter(F.col("n_dependents") > 1)
+        )
+        return grouped.select(
+            F.lit(self.name).alias("constraint"),
+            F.col(self.determinant).cast("string").alias("key"),
+            F.format_string(
+                "%d distinct dependent values", F.col("n_dependents")
+            ).alias("detail"),
+        )
+
+
+@dataclass
 class NoDrift(TableConstraint):
     """Quantile drift vs a reference snapshot must stay under a bound
     (mergeable GK sketches via percentile_approx)."""

@@ -1262,6 +1262,55 @@ FROM lineitem WHERE l_quantity IS NOT NULL
 GROUP BY l_quantity ORDER BY n DESC, l_quantity ASC LIMIT 10
 """
 
+def q_functional_dependency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FunctionalDependency constraint under the gate: l_orderkey ->
+    l_orderkey%1000 holds trivially; l_orderkey -> ship date does NOT
+    (multi-line orders ship on different dates, plus a seeded +500-day
+    corruption on one mod-class); the oracle recomputes the exact
+    violating-order count for both."""
+    from .constraints import ConstraintSuite, FunctionalDependency
+
+    li = load_table(spark, "lineitem", sf_dir)
+    mixed = li.withColumn(
+        "l_ship_mixed",
+        F.when(
+            (F.col("l_orderkey") % 50 == 0) & (F.col("l_linenumber") == 1),
+            F.date_add(F.col("l_shipdate").cast("date"), 500),
+        ).otherwise(F.col("l_shipdate").cast("date")),
+    ).withColumn("l_ordermod", F.col("l_orderkey") % 1000)
+    suite = ConstraintSuite(
+        [
+            FunctionalDependency("l_orderkey", "l_ordermod"),   # holds
+            FunctionalDependency("l_orderkey", "l_ship_mixed"),  # seeded breaks
+        ]
+    )
+    report = suite.check(mixed)
+    return report.verdicts().orderBy("constraint")
+
+
+ORACLE_FUNCTIONAL_DEPENDENCY = """
+WITH mixed AS (
+  SELECT l_orderkey,
+    CASE WHEN l_orderkey % 50 = 0 AND l_linenumber = 1
+         THEN CAST(l_shipdate AS DATE) + 500
+         ELSE CAST(l_shipdate AS DATE) END AS l_ship_mixed
+  FROM lineitem
+), fd2 AS (
+  SELECT count(*) AS n FROM (
+    SELECT l_orderkey FROM mixed GROUP BY l_orderkey
+    HAVING count(DISTINCT l_ship_mixed) > 1
+  )
+)
+SELECT 'fd:l_orderkey->l_ordermod' AS "constraint",
+       0 AS n_violations, TRUE AS pass
+UNION ALL
+SELECT 'fd:l_orderkey->l_ship_mixed', n, n = 0 FROM fd2
+ORDER BY "constraint"
+"""
+
+QUERIES["functional_dependency"] = q_functional_dependency
+ORACLES["functional_dependency"] = ORACLE_FUNCTIONAL_DEPENDENCY
+
 QUERIES["lineitem_histogram"] = q_lineitem_histogram
 ORACLES["lineitem_histogram"] = ORACLE_LINEITEM_HISTOGRAM
 QUERIES["lineitem_top_values"] = q_lineitem_top_values
