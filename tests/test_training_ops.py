@@ -249,3 +249,36 @@ def test_resize_and_frame_sample_plumbing(spark):
     # determinism
     again = {(r["media_ref"], r["frame_idx"], bytes(r["frame"])) for r in frames.collect()}
     assert again == {(r["media_ref"], r["frame_idx"], bytes(r["frame"])) for r in frows}
+
+
+def test_sketches_deterministic_across_partitioning(spark, docs_df):
+    """Hash sketches must not depend on physical partitioning: identical
+    outputs at 1 and 7 partitions (catches accidental use of
+    nondeterministic expressions in the hot paths)."""
+    from valideer_spark.operators import minhash_signatures, winnowing_fingerprints
+    from valideer_spark.operators.dedup import simhash
+
+    for op in (
+        lambda d: simhash(d).collect(),
+        lambda d: minhash_signatures(d, num_hashes=16).collect(),
+        lambda d: winnowing_fingerprints(d).collect(),
+    ):
+        a = {tuple(r) if not isinstance(r[1], list) else (r[0], tuple(r[1]))
+             for r in ([tuple(x) for x in op(docs_df.repartition(1))])}
+        b = {tuple(r) if not isinstance(r[1], list) else (r[0], tuple(r[1]))
+             for r in ([tuple(x) for x in op(docs_df.repartition(7))])}
+        assert a == b
+
+
+def test_duplicate_keys_salted_deterministic(spark, docs_df):
+    """The salted two-phase uniqueness aggregation uses a nondeterministic
+    per-row salt internally, but the FINAL counts are partitioning- and
+    run-independent."""
+    from valideer_spark.operators import duplicate_keys
+
+    runs = [
+        sorted(tuple(r) for r in duplicate_keys(
+            docs_df.repartition(p), "doc_id", salt=8).collect())
+        for p in (1, 5, 5)
+    ]
+    assert runs[0] == runs[1] == runs[2]
