@@ -96,3 +96,20 @@ def test_resume_partial_progress(spark, tmp_path):
     rest = eng.run_with_checkpoint(stored, run_id="r2")
     got = sorted(r["part_id"] for r in rest.collect())
     assert got == [4, 5, 6, 7]
+
+
+def test_checkpoint_lineage_columns(spark, tmp_path):
+    """Checkpoint rows carry full lineage: run id, timestamps, measured
+    wall seconds, and the input-file fingerprint (stable across runs of
+    the same files, distinct for different inputs)."""
+    docs = synth_docs(spark, 200)
+    p = str(tmp_path / "docs")
+    docs.write.parquet(p)
+    eng = ValidationEngine(doc_schema(), buckets=4,
+                           checkpoint_dir=str(tmp_path / "ck"))
+    out = eng.run_with_checkpoint(spark.read.parquet(p), run_id="r1")
+    rows = out.collect()
+    assert {"run_id", "completed_at", "input_fingerprint", "wall_secs"} <= set(out.columns)
+    assert all(r["wall_secs"] > 0 for r in rows)
+    fps = {r["input_fingerprint"] for r in rows}
+    assert len(fps) == 1 and list(fps)[0] != ""

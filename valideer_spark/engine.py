@@ -41,6 +41,24 @@ def deterministic_partition_id(doc_id_col, buckets: int = DEFAULT_BUCKETS):
     return F.pmod(F.xxhash64(doc_id_col), F.lit(buckets)).cast("int")
 
 
+def _input_fingerprint(df: DataFrame) -> str:
+    """Lineage fingerprint of a file-backed frame: md5 over the sorted
+    input file list (empty for non-file frames, e.g. synthetic ranges)."""
+    import hashlib
+
+    try:
+        files = sorted(df.inputFiles())
+    except Exception:
+        files = []
+    if not files:
+        return ""
+    h = hashlib.md5()
+    for f in files:
+        h.update(f.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
 def write_partitioned(
     df: DataFrame,
     path: str,
@@ -251,17 +269,33 @@ class ValidationEngine:
         pending = CheckReport(
             annotated=annotated, plan=report.plan, id_col=self.id_col, buckets=self.buckets
         )
-        verdicts = pending.verdicts().withColumn("run_id", F.lit(run_id)).withColumn(
-            "completed_at", F.lit(int(time.time())).cast("long")
-        ).withColumnRenamed("_part_id", "part_id")
+        t_run0 = time.time()
+        verdicts = (
+            pending.verdicts()
+            .withColumn("run_id", F.lit(run_id))
+            .withColumn("completed_at", F.lit(int(time.time())).cast("long"))
+            .withColumn("input_fingerprint", F.lit(_input_fingerprint(df)))
+            .withColumnRenamed("_part_id", "part_id")
+        )
+        # materialize the (≤ buckets) verdict rows so the lineage can carry
+        # the run's measured wall time — a tiny driver round-trip, not a
+        # data collect
+        from pyspark.sql import types as T
+
+        rows = verdicts.collect()
+        wall = round(time.time() - t_run0, 3)
+        schema = verdicts.schema.add(T.StructField("wall_secs", T.DoubleType()))
+        stamped = spark.createDataFrame(
+            [tuple(r) + (wall,) for r in rows], schema
+        )
         if self.checkpoint_format == "iceberg":
             from .sources.iceberg import merge_checkpoint, read_table
 
-            merge_checkpoint(spark, self.checkpoint_table, verdicts)
+            merge_checkpoint(spark, self.checkpoint_table, stamped)
             return read_table(spark, self.checkpoint_table, fmt="iceberg").filter(
                 F.col("run_id") == run_id
             )
-        verdicts.write.mode("append").parquet(self._checkpoint_path())
+        stamped.write.mode("append").parquet(self._checkpoint_path())
         return spark.read.parquet(self._checkpoint_path()).filter(
             F.col("run_id") == run_id
         )
