@@ -253,16 +253,22 @@ class ValidationEngine:
         run_id = run_id or uuid.uuid4().hex
         done = self.completed_partitions(spark)
 
-        pruned_at_source = done is not None and "_part_id" in df.columns
-        if pruned_at_source:
+        if done is not None and "_part_id" in df.columns:
+            # source pruning: with a write_partitioned layout the NOT-IN
+            # filter becomes PartitionFilters (completed buckets never
+            # scanned). Pure I/O optimization — correctness comes from the
+            # anti-join below, which also covers a layout written with a
+            # DIFFERENT bucket count than this engine's (the stored
+            # _part_id would then disagree with the recomputed one).
             done_ids = [r["part_id"] for r in done.collect()]  # ≤ buckets rows
             if done_ids:
                 df = df.filter(~F.col("_part_id").isin(done_ids))
 
         report = self.check(df, adapt=False)
         annotated = report.annotated
-        if done is not None and not pruned_at_source:
-            # broadcast anti-join: the completed list is tiny (≤ buckets)
+        if done is not None:
+            # broadcast anti-join on the recomputed bucket id: the
+            # completed list is tiny (≤ buckets)
             annotated = annotated.join(
                 F.broadcast(done), annotated["_part_id"] == done["part_id"], "left_anti"
             )
