@@ -139,3 +139,20 @@ def test_typed_plan_has_no_python_nodes(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "EvalPython" not in plan
+
+
+def test_query_registry_consistency():
+    """Every oracle refers to a registered query; every query is callable;
+    rows-only queries (no oracle) are the documented hash-seeded set."""
+    from valideer_spark.queries import ORACLES, QUERIES
+
+    assert set(ORACLES) <= set(QUERIES)
+    assert all(callable(f) for f in QUERIES.values())
+    rows_only = set(QUERIES) - set(ORACLES)
+    assert rows_only == {
+        "flagship_partition_verdicts",   # xxhash bucketing (totals gated)
+        "minhash_lsh_documents",         # raw candidates (verified gated)
+        "simhash_documents",             # raw groups (seeded recall gated)
+        "simhash_near_dups",             # raw pairs (seeded recall gated)
+        "drift_documents_nchars",        # GK approx (exact twin gated)
+    }
