@@ -156,3 +156,17 @@ def test_query_registry_consistency():
         "simhash_near_dups",             # raw pairs (seeded recall gated)
         "drift_documents_nchars",        # GK approx (exact twin gated)
     }
+
+
+def test_partition_metrics_sum_to_global(spark):
+    from valideer_spark.engine import ValidationEngine
+    from valideer_spark.flagship import doc_schema
+    from valideer_spark.sources import synth_docs
+
+    rep = ValidationEngine(doc_schema(), buckets=8).check(synth_docs(spark, 1000))
+    global_counts = {r["constraint"]: r["count"] for r in rep.metrics().collect()}
+    per_part = rep.partition_metrics().collect()
+    summed = {}
+    for r in per_part:
+        summed[r["constraint"]] = summed.get(r["constraint"], 0) + r["n"]
+    assert summed == global_counts

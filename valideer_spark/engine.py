@@ -157,6 +157,22 @@ class CheckReport:
             .count()
         )
 
+    def partition_metrics(self) -> DataFrame:
+        """Violation counts by (partition, constraint) — the per-partition
+        metrics rows of the checkpoint design: which buckets produce which
+        failures (hotspot debugging without re-scanning). Same single
+        exploded aggregation shape as :meth:`metrics`, keyed on
+        (bucket, constraint) — shuffle is O(buckets × constraints)."""
+        return (
+            self.annotated.filter(~F.col("_valid"))
+            .select("_part_id", F.explode("_violations").alias("v"))
+            .groupBy(
+                F.col("_part_id").alias("part_id"),
+                F.col("v.constraint").alias("constraint"),
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
     def adapted(self) -> DataFrame:
         """Adapted documents (valid rows only), schema = adapted row struct."""
         base = self.annotated.filter(F.col("_valid")).drop(

@@ -1328,6 +1328,22 @@ ORACLES["approx_distinct_bound"] = ORACLE_APPROX_DISTINCT_BOUND
 QUERIES["simhash_near_dups"] = q_simhash_near_dups
 QUERIES["simhash_seeded_recall"] = q_simhash_seeded_recall
 QUERIES["winnowing_fingerprints"] = q_winnowing_fingerprints
+def q_partition_constraint_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(partition, constraint) metrics rows summed back to global
+    per-constraint counts — the rollup must reproduce the document-level
+    truth the flagship metrics oracle recomputes."""
+    report = _flagship_engine(buckets=64).check(_docs(spark))
+    return (
+        report.partition_metrics()
+        .groupBy("constraint")
+        .agg(F.sum("n").alias("n"))
+        .orderBy("constraint")
+    )
+
+
+QUERIES["partition_constraint_totals"] = q_partition_constraint_totals
+ORACLES["partition_constraint_totals"] = ORACLE_FLAGSHIP_VIOLATION_METRICS
+
 QUERIES["partition_verdict_totals"] = q_partition_verdict_totals
 ORACLES["simhash_seeded_recall"] = ORACLE_SIMHASH_SEEDED_RECALL
 ORACLES["winnowing_fingerprints"] = ORACLE_WINNOWING_FINGERPRINTS
