@@ -160,3 +160,22 @@ def test_histogram_and_top_values(spark):
     assert sum(hist.values()) == 100 and len(hist) == 5  # 2 values per bin
     top = top_values(df.filter("v < 3"), "v", k=2).collect()
     assert [r["value"] for r in top] == [0.0, 1.0]  # tie broken by value
+
+
+def test_pipeline_example_runs():
+    """The composed end-to-end example stays green (subprocess: its own
+    SparkSession configuration)."""
+    import json
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "/root/repo/tools/pipeline_example.py", "3000"],
+        capture_output=True, text=True, timeout=420,
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith('{"pipeline"')][-1]
+    res = json.loads(line)
+    n = res["n"]
+    assert n["valid"] <= n["input"]
+    assert n["after_exact_dedup"] <= n["valid"]
+    assert 0 < n["curated"] <= n["after_near_dedup"]
