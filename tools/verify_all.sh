@@ -1,0 +1,25 @@
+#!/bin/bash
+# Full verification recipe (see .claude/skills/verify/SKILL.md):
+# unit+parity suite, DuckDB correctness gate, entry smoke, headline bench.
+set -e
+cd /root/repo
+echo "== pytest =="
+python -m pytest tests/ -q
+echo "== correctness gate (sf0.01) =="
+timeout 1200 python tools/check_oracle.py
+echo "== entry smoke =="
+python - <<'PY'
+import sys; sys.path.insert(0, "/root/repo")
+from pyspark.sql import SparkSession
+import __spark_entry__ as m
+spark = (SparkSession.builder.master("local[4]")
+         .config("spark.ui.enabled", "false")
+         .config("spark.sql.shuffle.partitions", "8").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+df = m.entry(spark)
+print("entry rows:", df.count(), df.schema.simpleString())
+spark.stop()
+PY
+echo "== bench (sf0.1) =="
+python bench.py
+echo "ALL VERIFY STEPS PASSED"
