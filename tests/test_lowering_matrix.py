@@ -455,3 +455,20 @@ def test_heterogeneous_mixed_adapt_types(spark):
     df = spark.createDataFrame([(["12", "x"],)], "x array<string>")
     row = df.select(node.adapt(F.col("x")).alias("a")).first()
     assert row["a"] == ["12", "x"]  # int 12 rendered into the string array
+
+
+def test_enum_nan_is_null_convention(spark):
+    """Engine convention: NaN ≡ NULL end to end (Arrow/pandas encode null
+    as NaN), so Enum NaN values are unmatchable and NaN cells are treated
+    as missing — a documented divergence from the kernel's set identity
+    shortcut (nan in {nan} is True)."""
+    from valideer_spark.plans import lower
+
+    nan = float("nan")
+    node = lower(V.parse(V.Enum([nan, 1.0])), T.DoubleType())
+    df = spark.createDataFrame(
+        [(nan,), (1.0,), (2.0,), (None,)],
+        T.StructType([T.StructField("x", T.DoubleType())]),
+    )
+    got = [r["ok"] for r in df.select(node.predicate(F.col("x")).alias("ok")).collect()]
+    assert got == [False, True, False, False]  # NaN handled like NULL

@@ -524,6 +524,13 @@ def _comparable_enum_values(values: list, dtype: T.DataType) -> Optional[list]:
     cls = _python_class_for(dtype)
     kept: list = []
     for x in values:
+        if isinstance(x, float) and x != x:
+            # NaN enum values can never match: the kernel's set identity
+            # shortcut (nan in {nan} is True) is unrepresentable on the
+            # engine — NaN ≡ NULL end to end (Arrow/pandas encode null as
+            # NaN, so even the kernel fallback sees None). Drop the value;
+            # a NaN cell is treated as missing, like every other operator.
+            continue
         if cls is str:
             if isinstance(x, str):
                 kept.append(x)
