@@ -113,3 +113,18 @@ def test_checkpoint_lineage_columns(spark, tmp_path):
     assert all(r["wall_secs"] > 0 for r in rows)
     fps = {r["input_fingerprint"] for r in rows}
     assert len(fps) == 1 and list(fps)[0] != ""
+
+
+def test_reserved_columns_not_validated(spark, tmp_path):
+    """A bucketed layout's _part_id (and re-check artifacts) are engine
+    columns, not document properties: a closed schema must not flag them."""
+    from valideer_spark import core as V
+    from valideer_spark.plans import compile_plan
+
+    df = spark.range(5).selectExpr("CAST(id AS STRING) AS doc_id",
+                                   "CAST(id % 2 AS INT) AS _part_id")
+    plan = compile_plan(
+        V.Object(required={"doc_id": "string"}, additional=False), df
+    )
+    out = plan.check(df, adapt=False)
+    assert all(r["_valid"] for r in out.collect())

@@ -18,8 +18,21 @@ from ..core.registry import Validator, parse
 from .lowering import Lowered, lower
 
 
+# engine-reserved column names never treated as document properties: a
+# bucketed layout carries _part_id, and re-checking an annotated frame
+# carries the artifacts — an Object(additional=False) schema must not
+# flag them. (_extras is NOT reserved: it is the open-schema side channel.)
+RESERVED_COLUMNS = {"_part_id", "_valid", "_violations", "_adapted"}
+
+
 def _row_struct(df: DataFrame) -> Column:
-    return F.struct(*[F.col(f.name) for f in df.schema.fields])
+    return F.struct(
+        *[
+            F.col(f.name)
+            for f in df.schema.fields
+            if f.name not in RESERVED_COLUMNS
+        ]
+    )
 
 
 @dataclass
@@ -107,6 +120,11 @@ def compile_plan(schema: Any, df_or_schema) -> FramePlan:
     validator = parse(schema)
     struct = (
         df_or_schema.schema if isinstance(df_or_schema, DataFrame) else df_or_schema
+    )
+    from pyspark.sql import types as T
+
+    struct = T.StructType(
+        [f for f in struct.fields if f.name not in RESERVED_COLUMNS]
     )
     return FramePlan(validator=validator, lowered=lower(validator, struct))
 
