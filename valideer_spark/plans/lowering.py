@@ -1253,7 +1253,6 @@ def _lower_object(v: K.Object, dtype: T.DataType) -> Lowered:
         declared.append((name, validator, node))
 
     required = [name for name in v._required_keys]
-    missing_required_always = [n for n in required if n not in field_types]
 
     extras = [f.name for f in dtype.fields if f.name not in v._all_keys]
     additional = v._additional
