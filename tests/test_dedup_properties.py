@@ -28,7 +28,7 @@ docs_strategy = st.lists(
 
 
 @pytest.mark.usefixtures("spark")
-@settings(max_examples=8, deadline=None,
+@settings(max_examples=8, deadline=None, derandomize=True,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(texts=docs_strategy)
 def test_jaccard_pairs_match_bruteforce(spark, texts):
@@ -55,7 +55,7 @@ def test_jaccard_pairs_match_bruteforce(spark, texts):
 
 
 @pytest.mark.usefixtures("spark")
-@settings(max_examples=6, deadline=None,
+@settings(max_examples=6, deadline=None, derandomize=True,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(texts=docs_strategy)
 def test_minhash_candidates_cover_identical_sets(spark, texts):
