@@ -19,25 +19,37 @@ DOC_ID_PATTERN = r"doc-\d{12}$"
 SPAN_KINDS = ["text", "image", "audio", "video", "table"]
 
 
+# The interleaving invariant, as two 2-field conditions (text spans carry
+# text and no media_ref; media spans the reverse). Split on purpose: each
+# reads ≤2 struct fields, so both lower to the struct-of-arrays zip_with
+# fast path (plans/lowering.py::_soa_forall) instead of interpreted
+# per-element struct access.
+
+
+def _span_text_consistency_py(span) -> bool:
+    return (span.get("text") is not None) == (span["kind"] == "text")
+
+
 def _span_media_consistency_py(span) -> bool:
-    """text spans carry text and no media_ref; media spans the reverse."""
-    is_text = span["kind"] == "text"
-    has_text = span.get("text") is not None
-    has_media = span.get("media_ref") is not None
-    return (has_text, has_media) == (is_text, not is_text)
+    return (span.get("media_ref") is not None) == (span["kind"] != "text")
 
 
-def _span_media_consistency_col(col):
-    is_text = col.getField("kind") == F.lit("text")
-    has_text = col.getField("text").isNotNull()
-    has_media = col.getField("media_ref").isNotNull()
-    return (has_text == is_text) & (has_media == ~is_text)
-
+span_text_consistency = ColumnCondition(
+    _span_text_consistency_py,
+    lambda col: col.getField("text").isNotNull()
+    == (col.getField("kind") == F.lit("text")),
+    name="span_text_consistency",
+    soa_fields=("kind", "text"),
+    soa_predicate=lambda k, t: t.isNotNull() == (k == F.lit("text")),
+)
 
 span_media_consistency = ColumnCondition(
     _span_media_consistency_py,
-    _span_media_consistency_col,
+    lambda col: col.getField("media_ref").isNotNull()
+    == (col.getField("kind") != F.lit("text")),
     name="span_media_consistency",
+    soa_fields=("kind", "media_ref"),
+    soa_predicate=lambda k, m: m.isNotNull() == (k != F.lit("text")),
 )
 
 
@@ -53,6 +65,7 @@ def span_schema() -> V.Validator:
                 "offset": V.Range("integer", min_value=0),
             },
         ),
+        span_text_consistency,
         span_media_consistency,
     )
 

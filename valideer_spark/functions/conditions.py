@@ -29,10 +29,21 @@ class ColumnCondition(K.Condition):
         column_predicate: Callable[[Column], Column],
         name: Optional[str] = None,
         traps=Exception,
+        soa_fields: Optional[tuple] = None,
+        soa_predicate: Optional[Callable[..., Column]] = None,
     ):
         super().__init__(predicate, traps)
         self.column_predicate = column_predicate
         self._display_name = name
+        #: optional struct-of-arrays form for conditions over StructType
+        #: values: ``soa_fields`` names the (≤2) struct fields the
+        #: condition reads; ``soa_predicate`` takes one Column per field
+        #: (the per-element field values) and must agree with
+        #: ``column_predicate`` on every element — including a NULL
+        #: element, which extracts to NULL in every field. Enables the
+        #: sequence-of-structs SoA fast path (plans/lowering.py).
+        self.soa_fields = tuple(soa_fields) if soa_fields else None
+        self.soa_predicate = soa_predicate
 
     @property
     def humanized_name(self) -> str:

@@ -73,6 +73,13 @@ class LoweringError(Exception):
     """A validator cannot be lowered against the given Spark type."""
 
 
+#: one struct-of-arrays check: (field names its builder reads, builder).
+#: The builder receives one Column per field — the per-ELEMENT field value,
+#: bound as a lambda variable over the extracted field array — and returns a
+#: boolean Column (may be three-valued; the evaluator null-safes it).
+SoaCheck = Tuple[Tuple[str, ...], Callable[..., Column]]
+
+
 @dataclass
 class Lowered:
     out_type: T.DataType
@@ -82,6 +89,25 @@ class Lowered:
     msg: Callable[[Column], Column]
     #: value-independent bare message, when one exists (leaf "must be X")
     static_msg: Optional[str] = None
+    #: predicate can only fail when the value IS NULL (statically known):
+    #: lets a containing Object fold the whole property check into the
+    #: required-presence bit (or skip it entirely for optional properties)
+    pred_null_only: bool = False
+    #: struct-of-arrays decomposition of the predicate, present when this
+    #: validator checks a StructType value through per-field checks only
+    #: (Object over struct, AllOf of such, 2-field ColumnConditions). Used
+    #: by HomogeneousSequence over array<struct>: evaluating each check as
+    #: a lambda over the EXTRACTED field arrays (GetArrayStructFields —
+    #: whole-stage codegen) instead of one lambda over the struct array
+    #: removes the per-element interpreted struct access, the measured
+    #: hot-path ceiling (BENCH.md — 1.8x on the flagship verdict).
+    soa_checks: Optional[List[SoaCheck]] = None
+    #: the SoA conjunction is False for a NULL element (e.g. a required
+    #: property presence term exists). Without this, SoA cannot be used:
+    #: a null struct element and an all-null-fields struct are
+    #: indistinguishable after field extraction, but only the former must
+    #: fail the Object type check.
+    soa_null_strict: bool = False
 
 
 def _no_violations() -> Column:
@@ -132,6 +158,9 @@ class _Check:
     constraint: str
     fails: Callable[[Column], Column]
     bare_msg: Callable[[Column], Column]
+    #: statically known to fail only on NULL input (the type-conformance
+    #: check of a statically matching type)
+    null_only: bool = False
 
 
 def _leaf(
@@ -178,6 +207,7 @@ def _leaf(
         violations=violations,
         msg=msg,
         static_msg=static_msg,
+        pred_null_only=all(c.null_only for c in checks),
     )
 
 
@@ -235,7 +265,14 @@ def _type_checks(v: Validator, dtype: T.DataType, statically_ok: bool) -> List[_
             return F.lit(True)
         return col.isNull()
 
-    return [_Check("type:" + v.humanized_name, fails, lambda col: F.lit(bare))]
+    return [
+        _Check(
+            "type:" + v.humanized_name,
+            fails,
+            lambda col: F.lit(bare),
+            null_only=statically_ok,
+        )
+    ]
 
 
 # ---------------------------------------------------------------------------
@@ -670,6 +707,8 @@ def _lower_nullable(v: K.Nullable, dtype: T.DataType) -> Lowered:
         adapt=adapt,
         violations=violations,
         msg=msg,
+        # inner fails only on null → isNull | inner never fails
+        pred_null_only=inner.pred_null_only,
     )
 
 
@@ -701,6 +740,7 @@ def _lower_nonnullable(v: K.NonNullable, dtype: T.DataType) -> Lowered:
         violations=violations,
         msg=msg,
         static_msg=bare if inner is None else None,
+        pred_null_only=inner.pred_null_only if inner else True,
     )
 
 
@@ -783,7 +823,22 @@ def _lower_allof(v: K.AllOf, dtype: T.DataType) -> Lowered:
     def msg(col: Column) -> Column:
         return F.coalesce(*[c.msg(col) for c in children]) if children else F.lit(None)
 
-    return Lowered(out_type, predicate, adapt, violations, msg)
+    # struct-of-arrays form: a conjunction of decomposable children is the
+    # concatenation of their per-field checks
+    soa: Optional[List[SoaCheck]] = None
+    if children and all(c.soa_checks is not None for c in children):
+        soa = [t for c in children for t in c.soa_checks]
+
+    return Lowered(
+        out_type,
+        predicate,
+        adapt,
+        violations,
+        msg,
+        pred_null_only=all(c.pred_null_only for c in children),
+        soa_checks=soa,
+        soa_null_strict=any(c.soa_null_strict for c in children),
+    )
 
 
 def _lower_chainof(v: K.ChainOf, dtype: T.DataType) -> Lowered:
@@ -825,7 +880,7 @@ def _lower_condition(v: K.Condition, dtype: T.DataType) -> Lowered:
     if builder is None:
         return kernel_fallback(v, dtype)
     bare = "must satisfy predicate %s" % v.humanized_name
-    return _leaf(
+    node = _leaf(
         dtype,
         [
             _Check(
@@ -836,6 +891,22 @@ def _lower_condition(v: K.Condition, dtype: T.DataType) -> Lowered:
         ],
         static_msg=bare,
     )
+    # struct-of-arrays form: a ColumnCondition may declare an equivalent
+    # builder over ≤2 named struct fields (zip_with binds at most two
+    # arrays); the author guarantees agreement with column_predicate,
+    # including on all-NULL field inputs (a NULL struct element extracts
+    # to NULL in every field array)
+    soa_fields = getattr(v, "soa_fields", None)
+    soa_builder = getattr(v, "soa_predicate", None)
+    if (
+        soa_fields
+        and soa_builder is not None
+        and 1 <= len(soa_fields) <= 2
+        and isinstance(dtype, T.StructType)
+        and all(f in dtype.fieldNames() for f in soa_fields)
+    ):
+        node.soa_checks = [(tuple(soa_fields), soa_builder)]
+    return node
 
 
 # Python int(str): optional whitespace, sign, digits with single
@@ -970,6 +1041,44 @@ def _lower_adapt_by(v: K.AdaptBy, dtype: T.DataType) -> Lowered:
     )
 
 
+def _soa_forall(col: Column, terms: List[SoaCheck]) -> Column:
+    """Evaluate per-element checks over an array<struct> column in
+    struct-of-arrays form: ``col.getField(f)`` extracts each referenced
+    field ONCE per row as a primitive array (GetArrayStructFields, covered
+    by whole-stage codegen), and each check runs as a lambda over the
+    extracted array(s) — primitive lambda variables only, no interpreted
+    per-element struct access. Equivalent to
+    ``_nullsafe(F.forall(col, lambda x: item.predicate(x)))`` when the
+    terms decompose ``item.predicate`` (see ``Lowered.soa_checks``);
+    term-wise null-safing is Kleene-equivalent to whole-conjunction
+    null-safing because a null conjunction never contains a definite False.
+
+    Measured (tools/soa_experiment.py, 10M docs, local[32]): 1.8x over the
+    array-of-structs forall on the flagship span schema."""
+    def _unary(b):
+        return lambda x: _nullsafe(b(x))
+
+    def _binary(b):
+        return lambda x, y: _nullsafe(b(x, y))
+
+    conj: Optional[Column] = None
+    for fields, builder in terms:
+        if not fields:
+            # per-element constant False: holds only for an empty array
+            term = F.size(col) == 0
+        else:
+            arrs = [col.getField(f) for f in fields]
+            if len(arrs) == 1:
+                barr = F.transform(arrs[0], _unary(builder))
+            else:
+                barr = F.zip_with(arrs[0], arrs[1], _binary(builder))
+            # bool array is null-definite → forall(barr, b -> b) without
+            # the extra higher-order call
+            term = ~F.array_contains(barr, F.lit(False))
+        conj = term if conj is None else conj & term
+    return _nullsafe(conj) if conj is not None else F.lit(True)
+
+
 def _lower_homogeneous_sequence(v: K.HomogeneousSequence, dtype: T.DataType) -> Lowered:
     if not isinstance(dtype, T.ArrayType):
         # non-array column can never be a sequence → constant type violation
@@ -1002,7 +1111,19 @@ def _lower_homogeneous_sequence(v: K.HomogeneousSequence, dtype: T.DataType) -> 
 
     out_type = T.ArrayType(item.out_type, dtype.containsNull)
 
+    # struct-of-arrays fast path (see _soa_forall): usable only when the
+    # item decomposes into per-field checks AND is null-strict (a NULL
+    # element must fail — field extraction cannot distinguish it from an
+    # all-NULL-fields struct otherwise)
+    use_soa = (
+        isinstance(dtype.elementType, T.StructType)
+        and item.soa_checks is not None
+        and item.soa_null_strict
+    )
+
     def predicate(col: Column) -> Column:
+        if use_soa:
+            return own.predicate(col) & _soa_forall(col, item.soa_checks)
         return own.predicate(col) & _nullsafe(
             F.forall(col, lambda x: item.predicate(x))
         )
@@ -1527,7 +1648,107 @@ def _lower_object(v: K.Object, dtype: T.DataType) -> Lowered:
             out_fields.append(T.StructField(f.name, f.dataType, True))
     out_type = T.StructType(out_fields)
 
-    return Lowered(out_type, predicate, adapt, violations, msg)
+    soa_checks, soa_null_strict = _object_soa_checks(
+        v,
+        field_types,
+        declared,
+        required,
+        extras,
+        additional,
+        extras_field,
+        extras_map_node,
+        extra_node,
+    )
+
+    return Lowered(
+        out_type,
+        predicate,
+        adapt,
+        violations,
+        msg,
+        soa_checks=soa_checks,
+        soa_null_strict=soa_null_strict,
+    )
+
+
+def _object_soa_checks(
+    v: K.Object,
+    field_types,
+    declared,
+    required,
+    extras,
+    additional,
+    extras_field,
+    extras_map_node,
+    extra_node,
+) -> Tuple[Optional[List[SoaCheck]], bool]:
+    """Per-field decomposition of the Object predicate (see
+    ``Lowered.soa_checks``). Mirrors ``predicate`` term for term; each
+    builder receives the FIELD value (lambda variable over the extracted
+    field array) instead of ``col.getField(name)``.
+
+    ``soa_null_strict`` holds iff some term is definitely False on a NULL
+    element (every field extracts to NULL): a required-presence term, or a
+    statically-missing required property (constant False). Objects with no
+    required properties are NOT null-strict — an all-optional object with
+    all-NULL fields is valid while a NULL element is not, and the two are
+    indistinguishable after extraction."""
+    terms: List[SoaCheck] = []
+    null_strict = False
+    for name in required:
+        if name in field_types:
+            terms.append(((name,), lambda x: x.isNotNull()))
+        else:
+            # statically missing required property: constant false
+            terms.append(((), lambda: F.lit(False)))
+        null_strict = True
+    for name, validator, node in declared:
+        if node is None:
+            continue
+        if v._ignore_optional_errors and name not in v._required_keys:
+            continue
+        if node.pred_null_only:
+            # fails only on NULL: required → presence term already covers
+            # it; optional → NULL field is valid → no check at all
+            continue
+        terms.append(
+            (
+                (name,),
+                lambda x, node=node: F.when(x.isNull(), F.lit(True)).otherwise(
+                    node.predicate(x)
+                ),
+            )
+        )
+    if additional is False:
+        for name in extras:
+            terms.append(((name,), lambda x: x.isNull()))
+    elif extra_node:
+        for name in extras:
+            terms.append(
+                (
+                    (name,),
+                    lambda x, node=extra_node[name]: F.when(
+                        x.isNull(), F.lit(True)
+                    ).otherwise(node.predicate(x)),
+                )
+            )
+    if extras_field is not None:
+        if additional is False:
+            terms.append(
+                ((extras_field,), lambda m: m.isNull() | (F.size(m) == 0))
+            )
+        elif extras_map_node is not None:
+            terms.append(
+                (
+                    (extras_field,),
+                    lambda m, node=extras_map_node: F.when(
+                        m.isNull(), F.lit(True)
+                    ).otherwise(
+                        F.forall(F.map_values(m), lambda x: node.predicate(x))
+                    ),
+                )
+            )
+    return terms, null_strict
 
 
 # ---------------------------------------------------------------------------

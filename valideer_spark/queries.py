@@ -93,9 +93,11 @@ ORACLE_FLAGSHIP_VIOLATION_METRICS = _docs_cte() + f"""
   UNION ALL
   SELECT 'range.min', count(*) FROM spans WHERE s."offset" < 0
   UNION ALL
+  SELECT 'condition:span_text_consistency', count(*) FROM spans
+    WHERE NOT ((s.text IS NOT NULL) = (s.kind = 'text'))
+  UNION ALL
   SELECT 'condition:span_media_consistency', count(*) FROM spans
-    WHERE NOT (((s.text IS NOT NULL) = (s.kind = 'text'))
-               AND ((s.media_ref IS NOT NULL) = (s.kind <> 'text')))
+    WHERE NOT ((s.media_ref IS NOT NULL) = (s.kind <> 'text'))
   UNION ALL
   SELECT 'sequence.min_length', count(*) FROM docs WHERE len(spans) < 1
 )
