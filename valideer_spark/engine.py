@@ -100,7 +100,7 @@ class CheckReport:
             .agg(
                 F.count(F.lit(1)).alias("n_docs"),
                 F.sum(F.col("_valid").cast("long")).alias("n_valid"),
-                F.sum(F.size("_violations")).alias("n_violations"),
+                F.sum("_n_violations").alias("n_violations"),
             )
             .withColumn("pass", F.col("n_valid") == F.col("n_docs"))
         )
@@ -132,7 +132,7 @@ class CheckReport:
             .agg(
                 F.count(F.lit(1)).alias("n_docs"),
                 F.sum(F.col("_valid").cast("long")).alias("n_valid"),
-                F.sum(F.size("_violations")).alias("n_violations"),
+                F.sum("_n_violations").alias("n_violations"),
                 F.grouping("_part_id").alias("is_total"),
             )
             .withColumn("pass", F.col("n_valid") == F.col("n_docs"))
@@ -176,7 +176,7 @@ class CheckReport:
     def adapted(self) -> DataFrame:
         """Adapted documents (valid rows only), schema = adapted row struct."""
         base = self.annotated.filter(F.col("_valid")).drop(
-            "_part_id", "_valid", "_violations"
+            "_part_id", "_valid", "_violations", "_n_violations"
         )
         row = self.plan.adapted_col(base)
         return base.select(row.alias("doc")).select("doc.*")

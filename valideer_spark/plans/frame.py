@@ -22,7 +22,7 @@ from .lowering import Lowered, lower
 # bucketed layout carries _part_id, and re-checking an annotated frame
 # carries the artifacts — an Object(additional=False) schema must not
 # flag them. (_extras is NOT reserved: it is the open-schema side channel.)
-RESERVED_COLUMNS = {"_part_id", "_valid", "_violations", "_adapted"}
+RESERVED_COLUMNS = {"_part_id", "_valid", "_violations", "_n_violations", "_adapted"}
 
 
 def _row_struct(df: DataFrame) -> Column:
@@ -56,6 +56,14 @@ class FramePlan:
         kernel traversal order (element 0 == kernel fail-fast error)."""
         return self.lowered.violations(_row_struct(df), F.lit(""))
 
+    def violation_count_col(self, df: DataFrame) -> Column:
+        """int — exactly ``size(violations_col(df))``, computed natively
+        without materializing the violation structs (no value reprs or
+        message formatting)."""
+        from .lowering import _count_of
+
+        return _count_of(self.lowered)(_row_struct(df))
+
     def adapted_col(self, df: DataFrame) -> Column:
         """Adapted document struct (defined where the row is valid)."""
         return self.lowered.adapt(_row_struct(df))
@@ -79,6 +87,17 @@ class FramePlan:
                 F.when(
                     F.col("_valid"), F.array().cast(self.violations_schema())
                 ).otherwise(self.lowered.violations(row, F.lit(""))),
+            )
+            # native violation COUNT (== size(_violations), asserted by
+            # tests/test_violation_count.py) without building the
+            # repr-heavy violation structs: verdict aggregations read this
+            # column, so Catalyst prunes _violations out of the verdict
+            # plan entirely and invalid rows stay cheap on that path
+            out = out.withColumn(
+                "_n_violations",
+                F.when(F.col("_valid"), F.lit(0)).otherwise(
+                    self.violation_count_col(df)
+                ),
             )
         if adapt:
             out = out.withColumn(

@@ -108,6 +108,19 @@ class Lowered:
     #: indistinguishable after field extraction, but only the former must
     #: fail the Object type check.
     soa_null_strict: bool = False
+    #: violation COUNT expression: exactly ``size(violations(col, path))``
+    #: but without building the violation structs (whose value-repr +
+    #: message formatting dominates the cost for invalid rows). None →
+    #: fall back to sizing the full violations array (_count_of).
+    count: Optional[Callable[[Column], Column]] = None
+
+
+def _count_of(node: "Lowered") -> Callable[[Column], Column]:
+    """The node's violation-count expression (cheap native counter when
+    lowered, else size of the full violations array)."""
+    if node.count is not None:
+        return node.count
+    return lambda col: F.size(node.violations(col, F.lit("")))
 
 
 def _no_violations() -> Column:
@@ -208,6 +221,8 @@ def _leaf(
         msg=msg,
         static_msg=static_msg,
         pred_null_only=all(c.null_only for c in checks),
+        # fail-fast: at most ONE violation from a leaf
+        count=lambda col: F.when(predicate(col), F.lit(0)).otherwise(F.lit(1)),
     )
 
 
@@ -485,6 +500,8 @@ def kernel_fallback(
         adapt=adapt,
         violations=violations,
         msg=msg,
+        # the kernel round-trip reports at most ONE violation
+        count=lambda col: F.when(predicate(col), F.lit(0)).otherwise(F.lit(1)),
     )
 
 
@@ -672,12 +689,20 @@ def _lower_range(v: K.Range, dtype: T.DataType) -> Lowered:
             return F.coalesce(inner.msg(col), own)
         return own
 
+    def count(col: Column) -> Column:
+        own_c = _count_of(bounds)(adapted(col))
+        if inner:
+            ic = _count_of(inner)(col)
+            return F.when(ic > 0, ic).otherwise(own_c)
+        return own_c
+
     return Lowered(
         out_type=out_type,
         predicate=predicate,
         adapt=adapted,
         violations=violations,
         msg=msg,
+        count=count,
     )
 
 
@@ -709,6 +734,9 @@ def _lower_nullable(v: K.Nullable, dtype: T.DataType) -> Lowered:
         msg=msg,
         # inner fails only on null → isNull | inner never fails
         pred_null_only=inner.pred_null_only,
+        count=lambda col: F.when(col.isNull(), F.lit(0)).otherwise(
+            _count_of(inner)(col)
+        ),
     )
 
 
@@ -741,6 +769,9 @@ def _lower_nonnullable(v: K.NonNullable, dtype: T.DataType) -> Lowered:
         msg=msg,
         static_msg=bare if inner is None else None,
         pred_null_only=inner.pred_null_only if inner else True,
+        count=lambda col: F.when(col.isNull(), F.lit(1)).otherwise(
+            _count_of(inner)(col) if inner else F.lit(0)
+        ),
     )
 
 
@@ -771,7 +802,14 @@ def _lower_anyof(v: K.AnyOf, dtype: T.DataType) -> Lowered:
             )
 
         return Lowered(
-            fb.out_type, predicate_mixed, fb.adapt, violations_mixed, msg_mixed
+            fb.out_type,
+            predicate_mixed,
+            fb.adapt,
+            violations_mixed,
+            msg_mixed,
+            count=lambda col: F.when(predicate_mixed(col), F.lit(0)).otherwise(
+                F.lit(1)
+            ),
         )
     out_type = children[0].out_type
 
@@ -800,7 +838,14 @@ def _lower_anyof(v: K.AnyOf, dtype: T.DataType) -> Lowered:
             _violation(path, "any_of", _invalid_value_msg(col, dtype, msg(col)))
         )
 
-    return Lowered(out_type, predicate, adapt, violations, msg)
+    return Lowered(
+        out_type,
+        predicate,
+        adapt,
+        violations,
+        msg,
+        count=lambda col: F.when(predicate(col), F.lit(0)).otherwise(F.lit(1)),
+    )
 
 
 def _lower_allof(v: K.AllOf, dtype: T.DataType) -> Lowered:
@@ -829,6 +874,12 @@ def _lower_allof(v: K.AllOf, dtype: T.DataType) -> Lowered:
     if children and all(c.soa_checks is not None for c in children):
         soa = [t for c in children for t in c.soa_checks]
 
+    def count(col: Column) -> Column:
+        total = F.lit(0)
+        for c in children:
+            total = total + _count_of(c)(col)
+        return total
+
     return Lowered(
         out_type,
         predicate,
@@ -838,6 +889,7 @@ def _lower_allof(v: K.AllOf, dtype: T.DataType) -> Lowered:
         pred_null_only=all(c.pred_null_only for c in children),
         soa_checks=soa,
         soa_null_strict=any(c.soa_null_strict for c in children),
+        count=count,
     )
 
 
@@ -872,7 +924,13 @@ def _lower_chainof(v: K.ChainOf, dtype: T.DataType) -> Lowered:
             else F.lit(None)
         )
 
-    return Lowered(cur_type, predicate, adapt, violations, msg)
+    def count(col: Column) -> Column:
+        total = F.lit(0)
+        for node, prev in stages:
+            total = total + _count_of(node)(prev(col))
+        return total
+
+    return Lowered(cur_type, predicate, adapt, violations, msg, count=count)
 
 
 def _lower_condition(v: K.Condition, dtype: T.DataType) -> Lowered:
@@ -1147,7 +1205,14 @@ def _lower_homogeneous_sequence(v: K.HomogeneousSequence, dtype: T.DataType) -> 
             F.when(F.size(first_bad) > 0, item.msg(F.get(first_bad, 0))),
         )
 
-    return Lowered(out_type, predicate, adapt, violations, msg)
+    item_count = _count_of(item)
+
+    def count(col: Column) -> Column:
+        return F.when(~own.predicate(col), F.lit(1)).otherwise(
+            F.aggregate(col, F.lit(0), lambda acc, x: acc + item_count(x))
+        )
+
+    return Lowered(out_type, predicate, adapt, violations, msg, count=count)
 
 
 def _lower_heterogeneous_sequence(
@@ -1210,7 +1275,15 @@ def _lower_heterogeneous_sequence(
         parts = [node.msg(F.get(col, i)) for i, node in enumerate(items)]
         return F.coalesce(own.msg(col), *parts) if parts else own.msg(col)
 
-    return Lowered(T.ArrayType(out_elem), predicate, adapt, violations, msg)
+    def count(col: Column) -> Column:
+        total = F.lit(0)
+        for i, node in enumerate(items):
+            total = total + _count_of(node)(F.get(col, i))
+        return F.when(~own.predicate(col), F.lit(1)).otherwise(total)
+
+    return Lowered(
+        T.ArrayType(out_elem), predicate, adapt, violations, msg, count=count
+    )
 
 
 def _lower_heterogeneous_struct(
@@ -1286,7 +1359,16 @@ def _lower_heterogeneous_struct(
             for f, node in zip(fields, items)
         ]
     ) if arity_ok else dtype
-    return Lowered(out_type, predicate, adapt, violations, msg)
+
+    def count(col: Column) -> Column:
+        if not arity_ok:
+            return F.lit(1)  # null → type violation; non-null → arity
+        total = F.lit(0)
+        for f, node in zip(fields, items):
+            total = total + _count_of(node)(col.getField(f.name))
+        return F.when(col.isNull(), F.lit(1)).otherwise(total)
+
+    return Lowered(out_type, predicate, adapt, violations, msg, count=count)
 
 
 def _lower_mapping(v: K.Mapping, dtype: T.DataType) -> Lowered:
@@ -1356,7 +1438,24 @@ def _lower_mapping(v: K.Mapping, dtype: T.DataType) -> Lowered:
 
     kt = kv.out_type if kv else dtype.keyType
     vt = vv.out_type if vv else dtype.valueType
-    return Lowered(T.MapType(kt, vt), predicate, adapt, violations, msg)
+
+    def count(col: Column) -> Column:
+        total = F.lit(0)
+        if vv:
+            vc = _count_of(vv)
+            total = total + F.aggregate(
+                F.map_values(col), F.lit(0), lambda acc, x: acc + vc(x)
+            )
+        if kv:
+            kc = _count_of(kv)
+            total = total + F.aggregate(
+                F.map_keys(col), F.lit(0), lambda acc, k: acc + kc(k)
+            )
+        return F.when(~own.predicate(col), F.lit(1)).otherwise(total)
+
+    return Lowered(
+        T.MapType(kt, vt), predicate, adapt, violations, msg, count=count
+    )
 
 
 def _lower_object(v: K.Object, dtype: T.DataType) -> Lowered:
@@ -1638,6 +1737,46 @@ def _lower_object(v: K.Object, dtype: T.DataType) -> Lowered:
             cands.append(F.when(fld.isNotNull(), node.msg(fld)))
         return F.coalesce(*cands)
 
+    def count(col: Column) -> Column:
+        total = F.lit(0)
+        for name, validator, node in declared:
+            if node is None:
+                continue
+            if v._ignore_optional_errors and name not in v._required_keys:
+                continue
+            fld = col.getField(name)
+            total = total + F.when(fld.isNull(), F.lit(0)).otherwise(
+                _count_of(node)(fld)
+            )
+        if additional is False and (extras or extras_field):
+            # ONE object.additional violation listing all present extras
+            present = F.lit(False)
+            for n in extras:
+                present = present | col.getField(n).isNotNull()
+            if extras_field is not None:
+                mfld = col.getField(extras_field)
+                present = present | (mfld.isNotNull() & (F.size(mfld) > 0))
+            total = total + F.when(present, F.lit(1)).otherwise(F.lit(0))
+        else:
+            if extra_node:
+                for name in extras:
+                    fld = col.getField(name)
+                    total = total + F.when(fld.isNull(), F.lit(0)).otherwise(
+                        _count_of(extra_node[name])(fld)
+                    )
+            if extras_map_node is not None:
+                mfld = col.getField(extras_field)
+                mc = _count_of(extras_map_node)
+                total = total + F.when(mfld.isNull(), F.lit(0)).otherwise(
+                    F.aggregate(
+                        F.map_values(mfld), F.lit(0), lambda acc, x: acc + mc(x)
+                    )
+                )
+        result = F.when(~own.predicate(col), F.lit(1))
+        if required:
+            result = result.when(F.size(_missing_arr(col)) > 0, F.lit(1))
+        return result.otherwise(total)
+
     # output struct type after adaptation
     out_fields = []
     for f in dtype.fields:
@@ -1668,6 +1807,7 @@ def _lower_object(v: K.Object, dtype: T.DataType) -> Lowered:
         msg,
         soa_checks=soa_checks,
         soa_null_strict=soa_null_strict,
+        count=count,
     )
 
 
