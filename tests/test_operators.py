@@ -179,3 +179,57 @@ def test_pipeline_example_runs():
     assert n["valid"] <= n["input"]
     assert n["after_exact_dedup"] <= n["valid"]
     assert 0 < n["curated"] <= n["after_near_dedup"]
+
+
+def test_psi_drift(spark):
+    from math import log
+
+    from valideer_spark.operators import psi_drift
+
+    a = spark.range(1000).select((F.col("id") % 10).cast("double").alias("x"))
+    # identical distributions → every psi term is (numerically) zero
+    rows = psi_drift(a, a, "x", breaks=[2.5, 5.5, 7.5]).collect()
+    assert [r["bucket"] for r in rows] == [0, 1, 2, 3]
+    assert all(abs(r["psi_term"]) < 1e-12 for r in rows)
+    assert all(r["n_a"] == r["n_b"] for r in rows)
+
+    # a fully shifted bucket: hand-check one term against the formula
+    b = spark.range(1000).select(
+        ((F.col("id") % 10) + 10).cast("double").alias("x")
+    )
+    rows = psi_drift(a, b, "x", breaks=[9.5]).collect()
+    # bucket 0: all of a (pa=1), none of b (pb=eps); bucket 1 the reverse
+    pa, pb = 1.0, 1e-6
+    expect = (pa - pb) * log(pa / pb)
+    assert abs(rows[0]["psi_term"] - expect) < 1e-9
+    assert abs(rows[1]["psi_term"] - expect) < 1e-9  # symmetric
+    # nulls are excluded, missing buckets appear with zero counts
+    c = spark.range(10).select(
+        F.when(F.col("id") % 2 == 0, F.col("id").cast("double")).alias("x")
+    )
+    rows = psi_drift(c, c, "x", breaks=[100.0]).collect()
+    assert [(r["bucket"], r["n_a"], r["n_b"]) for r in rows] == [
+        (0, 5, 5),
+        (1, 0, 0),
+    ]
+
+
+def test_count_min_sketch(spark):
+    from valideer_spark.operators import count_min_estimates, count_min_table
+
+    df = spark.range(1000).select(
+        F.format_string("k-%d", F.col("id") % 7).alias("k")
+    )
+    cms = count_min_table(df, "k", depth=4, width=64)
+    # counter table is bounded by depth*width and each depth row sums to N
+    per_row = cms.groupBy("d").agg(F.sum("cnt").alias("s")).collect()
+    assert len(per_row) == 4 and all(r["s"] == 1000 for r in per_row)
+    vals = df.distinct()
+    est = count_min_estimates(cms, vals, "k", depth=4, width=64).collect()
+    exact = {f"k-{i}": (1000 // 7) + (1 if i < 1000 % 7 else 0) for i in range(7)}
+    for r in est:
+        assert r["est"] >= exact[r["value"]]  # CMS never underestimates
+    # an unseen value can only collide upward from zero
+    miss = spark.createDataFrame([("nope",)], ["k"])
+    m = count_min_estimates(cms, miss, "k", depth=4, width=64).collect()[0]
+    assert m["est"] >= 0

@@ -1,8 +1,15 @@
-from .stats import column_histogram, column_profile, top_values
+from .stats import (
+    column_histogram,
+    column_profile,
+    count_min_estimates,
+    count_min_table,
+    top_values,
+)
 from .uniqueness import duplicate_keys
 from .referential import orphan_keys, orphan_rows, salted_orphan_rows
 from .drift import (
     drift_between_sketch_tables,
+    psi_drift,
     quantile_drift,
     tdigest_quantiles,
     tdigest_sketch_table,
@@ -36,11 +43,14 @@ from .setops import domain_diff, domain_values
 __all__ = [
     "column_profile",
     "column_histogram",
+    "count_min_estimates",
+    "count_min_table",
     "top_values",
     "duplicate_keys",
     "orphan_rows",
     "salted_orphan_rows",
     "orphan_keys",
+    "psi_drift",
     "quantile_drift",
     "tdigest_quantiles",
     "tdigest_sketch_table",

@@ -208,3 +208,64 @@ def quantile_drift(
         F.col("z.q_b").alias("q_b"),
         F.abs(F.col("z.q_a") - F.col("z.q_b")).alias("abs_diff"),
     )
+
+
+def psi_drift(
+    snapshot_a: DataFrame,
+    snapshot_b: DataFrame,
+    column: str,
+    breaks: Sequence[float],
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index over FIXED bucket breaks — the standard
+    production drift score, exact and SQL-reproducible (unlike the sketch
+    paths, which are approximate by construction).
+
+    ``len(breaks) + 1`` buckets: bucket i = number of breaks the value
+    exceeds. NULLs are excluded (PSI is defined over observed values).
+    Per side: one bounded-key aggregation — shuffle is O(buckets), never
+    O(rows), so the plan is 100 TB-safe by the same argument as
+    column_histogram. Returns one row per bucket:
+    (bucket, n_a, n_b, psi_term double) with
+    ``psi_term = (pa - pb) * ln(pa / pb)`` on eps-floored shares;
+    sum(psi_term) is the PSI. Drift rule of thumb: < 0.1 stable,
+    0.1-0.25 moderate, > 0.25 shifted.
+    """
+    breaks = list(breaks)
+    n_buckets = len(breaks) + 1
+
+    def bucketed(df: DataFrame, name: str) -> DataFrame:
+        b = F.lit(0)
+        for cut in breaks:
+            b = b + (F.col(column) > F.lit(float(cut))).cast("int")
+        return (
+            df.filter(F.col(column).isNotNull())
+            .select(b.alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    a = bucketed(snapshot_a, "n_a")
+    b = bucketed(snapshot_b, "n_b")
+    all_buckets = a.sparkSession.range(n_buckets).select(
+        F.col("id").cast("int").alias("bucket")
+    )
+    joined = (
+        all_buckets.join(F.broadcast(a), "bucket", "left")
+        .join(F.broadcast(b), "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("n_a", F.lit(0)).alias("n_a"),
+            F.coalesce("n_b", F.lit(0)).alias("n_b"),
+        )
+    )
+    # the joined frame is n_buckets rows — window totals are free here
+    from pyspark.sql import Window
+
+    w = Window.partitionBy()
+    pa = F.greatest(F.col("n_a") / F.sum("n_a").over(w), F.lit(float(eps)))
+    pb = F.greatest(F.col("n_b") / F.sum("n_b").over(w), F.lit(float(eps)))
+    term = (pa - pb) * F.log(pa / pb)
+    return joined.select(
+        "bucket", "n_a", "n_b", term.alias("psi_term")
+    ).orderBy("bucket")

@@ -89,3 +89,68 @@ def top_values(
         .orderBy(F.desc("n"), F.asc("value"))
         .limit(k)
     )
+
+
+def count_min_table(
+    df: DataFrame, column: str, depth: int = 5, width: int = 2048
+) -> DataFrame:
+    """Count-min sketch as a (d, w, cnt) counter table — the approximate,
+    bounded-shuffle twin of :func:`top_values` for heavy-hitter queries
+    over columns whose exact groupBy would shuffle billions of distinct
+    keys.
+
+    Each value increments one counter per depth row (hash seeded by the
+    row index); the shuffle carries at most depth × width keys regardless
+    of input size, and two sketch tables built on different inputs merge
+    by summing counters (Cormode & Muthukrishnan 2005). Guarantees with
+    seed-fixed hashes: estimate >= true count always; estimate <= true +
+    (e/width) * N with probability 1 - exp(-depth)."""
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                F.pmod(F.xxhash64(F.lit(d), F.col(column)), F.lit(width))
+                .cast("int")
+                .alias("w"),
+            )
+            for d in range(depth)
+        ]
+    )
+    return (
+        df.filter(F.col(column).isNotNull())
+        .select(F.explode(cells).alias("c"))
+        .groupBy(F.col("c.d").alias("d"), F.col("c.w").alias("w"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def count_min_estimates(
+    cms: DataFrame,
+    values: DataFrame,
+    column: str,
+    depth: int = 5,
+    width: int = 2048,
+) -> DataFrame:
+    """Point-query a count-min table for each value in ``values[column]``:
+    est = min over depth rows of the addressed counter (0 when the cell
+    was never touched). Broadcast-joins the KB-size sketch — no rescan of
+    the sketched input."""
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                F.pmod(F.xxhash64(F.lit(d), F.col(column)), F.lit(width))
+                .cast("int")
+                .alias("w"),
+            )
+            for d in range(depth)
+        ]
+    )
+    addressed = values.select(
+        F.col(column).alias("value"), F.explode(cells).alias("c")
+    ).select("value", F.col("c.d").alias("d"), F.col("c.w").alias("w"))
+    return (
+        addressed.join(F.broadcast(cms), ["d", "w"], "left")
+        .groupBy("value")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+    )

@@ -1651,3 +1651,122 @@ ORACLES["typed_matrix_verdicts"] = _oracle_typed_matrix_verdicts()
 ORACLES["typed_matrix_messages"] = _oracle_typed_matrix_messages()
 ORACLES["typed_required_missing"] = ORACLE_TYPED_REQUIRED_MISSING
 ORACLES["typed_adapted"] = _oracle_typed_adapted()
+
+
+# ---------------------------------------------------------------------------
+# PSI drift (fixed-bucket population stability index — exact oracle)
+# ---------------------------------------------------------------------------
+
+_PSI_BREAKS = [100, 150, 200, 250, 300, 350, 400, 450, 500]
+
+
+def q_psi_drift_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI between the even/odd doc_id halves of documents.n_chars over
+    fixed breaks (operators/drift.py::psi_drift). The psi term is emitted
+    as round(term * 1e8) BIGINT: the shares and their difference are
+    IEEE-identical in both engines, and the integer rounding absorbs the
+    last-ulp divergence ln() is allowed across libms."""
+    from .operators import psi_drift
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = psi_drift(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        "n_chars",
+        _PSI_BREAKS,
+    )
+    return out.select(
+        "bucket",
+        "n_a",
+        "n_b",
+        F.round(F.col("psi_term") * F.lit(1e8)).cast("long").alias("psi_e8"),
+    ).orderBy("bucket")
+
+
+_PSI_BUCKET_SQL = " + ".join(
+    f"CAST(n_chars > {c} AS INT)" for c in _PSI_BREAKS
+)
+
+ORACLE_PSI_DRIFT_DOCUMENTS = f"""
+WITH a AS (
+  SELECT ({_PSI_BUCKET_SQL}) AS bucket, count(*) AS n_a
+  FROM documents WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL GROUP BY 1
+), b AS (
+  SELECT ({_PSI_BUCKET_SQL}) AS bucket, count(*) AS n_b
+  FROM documents WHERE doc_id % 2 = 1 AND n_chars IS NOT NULL GROUP BY 1
+), buckets AS (
+  SELECT CAST(range AS INT) AS bucket FROM range({len(_PSI_BREAKS) + 1})
+), j AS (
+  SELECT bucket, coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+  FROM buckets LEFT JOIN a USING (bucket) LEFT JOIN b USING (bucket)
+), shares AS (
+  SELECT bucket, n_a, n_b,
+    greatest(CAST(n_a AS DOUBLE) / CAST(SUM(n_a) OVER () AS DOUBLE), 1e-6) AS pa,
+    greatest(CAST(n_b AS DOUBLE) / CAST(SUM(n_b) OVER () AS DOUBLE), 1e-6) AS pb
+  FROM j
+)
+SELECT bucket, n_a, n_b,
+  CAST(round(((pa - pb) * ln(pa / pb)) * 1e8) AS BIGINT) AS psi_e8
+FROM shares ORDER BY bucket
+"""
+
+QUERIES["psi_drift_documents"] = q_psi_drift_documents
+ORACLES["psi_drift_documents"] = ORACLE_PSI_DRIFT_DOCUMENTS
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch heavy hitters (bound-style oracle, like approx_distinct)
+# ---------------------------------------------------------------------------
+
+def q_cms_event_type_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min estimates for every distinct events.event_type vs exact
+    counts (operators/stats.py::count_min_table). The sketch NEVER
+    underestimates (deterministic), and with depth 5 overestimates by
+    more than (e/width)·N with probability < e^-5 — with the fixed seeds
+    and deterministic test data the bound either holds or it does not,
+    so the booleans are a stable oracle (same pattern as
+    approx_distinct_bound)."""
+    import math
+
+    from pyspark.sql import Window
+
+    from .operators import count_min_estimates, count_min_table
+
+    depth, width = 5, 2048
+    events = load_table(spark, "events", sf_dir)
+    cms = count_min_table(events, "event_type", depth=depth, width=width)
+    exact = (
+        events.filter(F.col("event_type").isNotNull())
+        .groupBy(F.col("event_type").alias("value"))
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+    )
+    est = count_min_estimates(
+        cms,
+        exact.select(F.col("value").alias("event_type")),
+        "event_type",
+        depth=depth,
+        width=width,
+    )
+    total = F.sum("exact_n").over(Window.partitionBy())
+    slack = F.ceil(total * F.lit(math.e / width))
+    return (
+        exact.join(est, "value")
+        .select(
+            "value",
+            "exact_n",
+            (F.col("est") >= F.col("exact_n")).alias("never_under"),
+            (F.col("est") <= F.col("exact_n") + slack).alias("within_eps"),
+        )
+        .orderBy("value")
+    )
+
+
+ORACLE_CMS_EVENT_TYPE_BOUND = """
+SELECT event_type AS value, count(*) AS exact_n,
+       TRUE AS never_under, TRUE AS within_eps
+FROM events WHERE event_type IS NOT NULL
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["cms_event_type_bound"] = q_cms_event_type_bound
+ORACLES["cms_event_type_bound"] = ORACLE_CMS_EVENT_TYPE_BOUND
