@@ -135,15 +135,19 @@ def main() -> None:
             return round((results[hi][key] / results[lo][key]) / (hi / lo), 3)
         return None
 
-    print(json.dumps({
-        "n_docs": N_DOCS,
-        "levels": list(results.values()),
-        "efficiency_2_to_8_verdict": eff(2, 8, "verdict_docs_per_sec"),
-        "efficiency_8_to_32_verdict": eff(8, 32, "verdict_docs_per_sec"),
-        "efficiency_2_to_8_full": eff(2, 8, "full_docs_per_sec"),
-        "efficiency_8_to_32_full": eff(8, 32, "full_docs_per_sec"),
-        "kernel_single_thread_docs_per_sec": round(k_rate, 1),
-    }, indent=2))
+    out = {"n_docs": N_DOCS, "levels": list(results.values())}
+    # every N -> 4N pair present in the measured levels
+    for lo in CPU_LIST:
+        hi = lo * 4
+        if hi in results:
+            out[f"efficiency_{lo}_to_{hi}_verdict"] = eff(
+                lo, hi, "verdict_docs_per_sec"
+            )
+            out[f"efficiency_{lo}_to_{hi}_full"] = eff(
+                lo, hi, "full_docs_per_sec"
+            )
+    out["kernel_single_thread_docs_per_sec"] = round(k_rate, 1)
+    print(json.dumps(out, indent=2))
 
 
 if __name__ == "__main__":
