@@ -99,3 +99,34 @@ def test_flagship_verdict_plan_has_no_lambda_struct_access(spark):
         r"lambda [a-z]+_\d+#\d+\.(?:kind|text|media_ref|offset)", expr
     )
     assert hits == [], f"per-element struct access on the hot path: {hits[:3]}"
+
+
+def test_soa_and_aos_strategies_agree_on_randomized_docs(spark):
+    """Cross-check the two sequence-predicate evaluation strategies on a
+    diverse corpus (bad enums/ranges/patterns, null elements, null/empty
+    arrays, all-null-field structs, missing required, both conditions
+    violated) — verdicts must be identical cell for cell."""
+    import valideer_spark.plans.lowering as L
+    from valideer_spark.flagship import doc_schema
+    from valideer_spark.plans import compile_plan
+    from valideer_spark.sources import synth_docs
+
+    docs = synth_docs(spark, 4000).cache()
+    try:
+        assert L.SOA_ENABLED
+        soa = compile_plan(doc_schema(), docs)
+        soa_valid = docs.select(
+            F.col("doc_id"), soa.is_valid_col(docs).alias("ok")
+        )
+        L.SOA_ENABLED = False
+        aos = compile_plan(doc_schema(), docs)
+        aos_valid = docs.select(
+            F.col("doc_id"), aos.is_valid_col(docs).alias("ok_aos")
+        )
+        diff = soa_valid.join(aos_valid, "doc_id").filter(
+            F.col("ok") != F.col("ok_aos")
+        )
+        assert diff.count() == 0
+    finally:
+        L.SOA_ENABLED = True
+        docs.unpersist()
