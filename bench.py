@@ -84,6 +84,11 @@ def main() -> None:
     n_viol = timed("flagship_violations", lambda: report.violation_rows().count())
     check_secs = timings["flagship_verdicts"] + timings["flagship_violations"]
     extras["docs_per_sec"] = round(n_rows / check_secs, 1)
+    # the BASELINE.json metric: validated docs/sec, constraint-eval
+    # (verdict + per-partition violation counts in one scan)
+    extras["constraint_eval_docs_per_sec"] = round(
+        n_rows / timings["flagship_verdicts"], 1
+    )
     extras["n_docs"] = n_rows
     extras["n_valid"] = int(verdict_totals[1])
     extras["n_violations"] = int(n_viol)
