@@ -233,3 +233,25 @@ def test_count_min_sketch(spark):
     miss = spark.createDataFrame([("nope",)], ["k"])
     m = count_min_estimates(cms, miss, "k", depth=4, width=64).collect()[0]
     assert m["est"] >= 0
+
+
+def test_count_min_merge_equals_union_sketch(spark):
+    from valideer_spark.operators import (
+        count_min_estimates,
+        count_min_merge,
+        count_min_table,
+    )
+
+    a = spark.range(500).select(F.format_string("k-%d", F.col("id") % 5).alias("k"))
+    b = spark.range(300).select(F.format_string("k-%d", F.col("id") % 3).alias("k"))
+    merged = count_min_merge(
+        count_min_table(a, "k", depth=4, width=64),
+        count_min_table(b, "k", depth=4, width=64),
+    )
+    direct = count_min_table(a.unionByName(b), "k", depth=4, width=64)
+    vals = a.unionByName(b).distinct()
+    em = {r["value"]: r["est"] for r in
+          count_min_estimates(merged, vals, "k", depth=4, width=64).collect()}
+    ed = {r["value"]: r["est"] for r in
+          count_min_estimates(direct, vals, "k", depth=4, width=64).collect()}
+    assert em == ed  # merging sketches == sketching the union

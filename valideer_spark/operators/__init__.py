@@ -2,6 +2,7 @@ from .stats import (
     column_histogram,
     column_profile,
     count_min_estimates,
+    count_min_merge,
     count_min_table,
     top_values,
 )
@@ -44,6 +45,7 @@ __all__ = [
     "column_profile",
     "column_histogram",
     "count_min_estimates",
+    "count_min_merge",
     "count_min_table",
     "top_values",
     "duplicate_keys",

@@ -154,3 +154,16 @@ def count_min_estimates(
         .groupBy("value")
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
     )
+
+
+def count_min_merge(*tables: DataFrame) -> DataFrame:
+    """Merge count-min tables built with the SAME (depth, width, column
+    seeds) — e.g. one per Iceberg snapshot or per corpus shard — by
+    summing counters cell-wise. The merged table answers point queries
+    over the union of the sketched inputs; O(depth × width) rows
+    throughout."""
+    assert tables, "need at least one sketch table"
+    out = tables[0]
+    for t in tables[1:]:
+        out = out.unionByName(t)
+    return out.groupBy("d", "w").agg(F.sum("cnt").alias("cnt"))
