@@ -75,3 +75,85 @@ def test_property_parity(spark, name, validator, dtype):
             assert row.adapted == kernel_adapted, (
                 f"{name}: adapt mismatch for {value!r}"
             )
+
+
+def test_property_parity_struct_sequence_soa(spark):
+    """Randomized array<struct> documents through a schema that takes the
+    struct-of-arrays fast path (required + optional + enum + range +
+    pattern + a 2-field ColumnCondition): Spark verdict == kernel verdict
+    and the native violation counter == size(violations), cell for cell.
+    """
+    from valideer_spark.functions import ColumnCondition
+    from valideer_spark.plans.lowering import _count_of
+
+    cond = ColumnCondition(
+        lambda s: (s.get("c") is not None) == (s["b"] == "t"),
+        lambda col: col.getField("c").isNotNull()
+        == (col.getField("b") == F.lit("t")),
+        name="c_iff_t",
+        soa_fields=("b", "c"),
+        soa_predicate=lambda b, c: c.isNotNull() == (b == F.lit("t")),
+    )
+    validator = V.HomogeneousSequence(
+        V.AllOf(
+            V.Object(
+                required={"a": V.Range("integer", 0, 50), "b": V.Enum(["t", "u"])},
+                optional={"c": V.Nullable(V.Pattern(r"p\d+$"))},
+            ),
+            cond,
+        ),
+        min_length=1,
+    )
+    dtype = T.ArrayType(
+        T.StructType(
+            [
+                T.StructField("a", T.LongType()),
+                T.StructField("b", T.StringType()),
+                T.StructField("c", T.StringType()),
+            ]
+        )
+    )
+    node = lower(validator, dtype)
+    item_node = lower(validator._item_validator, dtype.elementType)
+    assert item_node.soa_checks is not None and item_node.soa_null_strict
+
+    elem = st.one_of(
+        st.none(),
+        st.tuples(
+            st.one_of(st.none(), st.integers(min_value=-5, max_value=60)),
+            st.one_of(st.none(), st.sampled_from(["t", "u", "zz"])),
+            st.one_of(st.none(), st.sampled_from(["p1", "p22", "px", ""])),
+        ),
+    )
+    strategy = st.one_of(st.none(), st.lists(elem, max_size=4))
+    samples = []
+
+    @settings(max_examples=120, deadline=None, database=None)
+    @given(strategy)
+    def collect(value):
+        samples.append(value)
+
+    collect()
+    df = spark.createDataFrame(
+        [(v,) for v in samples], T.StructType([T.StructField("x", dtype)])
+    )
+    rows = df.select(
+        node.predicate(F.col("x")).alias("ok"),
+        F.size(node.violations(F.col("x"), F.lit(""))).alias("n_vio"),
+        _count_of(node)(F.col("x")).alias("n_cnt"),
+    ).collect()
+    for row, value in zip(rows, samples):
+        as_py = (
+            None
+            if value is None
+            else [
+                None
+                if e is None
+                else {k: x for k, x in zip(("a", "b", "c"), e) if x is not None}
+                for e in value
+            ]
+        )
+        expected = validator.is_valid(as_py)
+        assert row.ok == expected, f"verdict mismatch for {as_py!r}"
+        assert row.n_cnt == row.n_vio, f"count mismatch for {as_py!r}"
+        assert (row.n_vio == 0) == expected
