@@ -87,3 +87,29 @@ def test_functional_dependency(spark):
     assert v == {"2": "2 distinct dependent values"}
     verdicts = {r["constraint"]: r["pass"] for r in report.verdicts().collect()}
     assert verdicts == {"fd:k->dep": False}
+
+
+def test_write_quarantine_routes_and_annotates(spark, tmp_path):
+    from valideer_spark.engine import ValidationEngine, write_quarantine
+    from valideer_spark.flagship import doc_schema
+    from valideer_spark.sources import synth_docs
+
+    docs = synth_docs(spark, 2000)
+    report = ValidationEngine(doc_schema()).check(docs)
+    vp, qp = str(tmp_path / "valid"), str(tmp_path / "quarantine")
+    write_quarantine(report, vp, qp)
+
+    valid = spark.read.parquet(vp)
+    quarantine = spark.read.parquet(qp)
+    n_valid = report.annotated.filter(F.col("_valid")).count()
+    assert valid.count() == n_valid
+    # engine columns dropped; bucket partition kept for downstream layout
+    assert set(valid.columns) == {"doc_id", "spans", "_part_id"}
+    # quarantine rows are self-describing violation rows
+    assert {"doc_id", "part_id", "violation_index", "path", "constraint",
+            "message"} <= set(quarantine.columns)
+    bad_ids = {r["doc_id"] for r in
+               report.annotated.filter(~F.col("_valid")).select("doc_id").collect()}
+    assert {r["doc_id"] for r in quarantine.select("doc_id").distinct().collect()} == bad_ids
+    # disjoint routing covers the input
+    assert valid.count() + len(bad_ids) == 2000

@@ -321,3 +321,42 @@ class ValidationEngine:
         return spark.read.parquet(self._checkpoint_path()).filter(
             F.col("run_id") == run_id
         )
+
+
+def write_quarantine(
+    report: CheckReport,
+    valid_path: str,
+    quarantine_path: str,
+    fmt: str = "parquet",
+    partition_by_bucket: bool = True,
+) -> None:
+    """Route one checked frame to two sinks — the production
+    validate-then-quarantine pattern: valid documents (engine columns
+    dropped) to ``valid_path``, invalid documents WITH their exploded
+    violation rows joined back on (doc_id, part_id) to
+    ``quarantine_path`` so the quarantine is self-describing (every row
+    says why it was rejected).
+
+    One pass over the input per sink; both writes partition by the
+    deterministic bucket id by default, so downstream repair jobs and
+    checkpoint resume see the same layout as :func:`write_partitioned`.
+    Quarantine volume is the invalid fraction only — the predicate filter
+    is pushed into the scan for columnar sources."""
+    drop = [c for c in ("_valid", "_violations", "_n_violations") if c in report.annotated.columns]
+    valid = report.annotated.filter(F.col("_valid")).drop(*drop)
+    writer = valid.write.mode("overwrite")
+    if partition_by_bucket:
+        writer = writer.partitionBy("_part_id")
+    if fmt == "iceberg":
+        writer.format("iceberg").saveAsTable(valid_path)
+    else:
+        writer.parquet(valid_path)
+
+    bad = report.violation_rows()
+    writer = bad.write.mode("overwrite")
+    if partition_by_bucket:
+        writer = writer.partitionBy("part_id")
+    if fmt == "iceberg":
+        writer.format("iceberg").saveAsTable(quarantine_path)
+    else:
+        writer.parquet(quarantine_path)
