@@ -47,6 +47,41 @@ def table_hash(rows, columns):
     return h.hexdigest()
 
 
+def _type_family(t: str) -> str:
+    """Collapse a type name (Spark dtype string or Arrow type string) into a
+    comparison family. The driver's value hash is dtype-sensitive: DuckDB
+    sum(BIGINT) returns HUGEINT (arrow decimal128(38,0)) which hashes
+    differently from Spark's BIGINT even when values are equal — the r2
+    six-red-rows bug class. Int widths and float widths collapse to one
+    family each (driver-verified tolerant); decimal stays distinct."""
+    t = t.lower()
+    if t.startswith(("array", "list", "large_list", "fixed_size_list")):
+        return "list"
+    if t.startswith("map"):
+        return "map"
+    if t.startswith("struct"):
+        return "struct"
+    if t.startswith("decimal"):
+        return t.replace("decimal128", "decimal").replace(" ", "")
+    if t in ("tinyint", "smallint", "int", "bigint", "long", "integer") or t.startswith(
+        ("int8", "int16", "int32", "int64", "uint")
+    ):
+        return "int"
+    if t in ("float", "double", "halffloat") or t.startswith(("float16", "float32", "float64")):
+        return "float"
+    if t in ("string", "large_string", "utf8", "large_utf8", "varchar"):
+        return "str"
+    if t in ("bool", "boolean"):
+        return "bool"
+    if t.startswith("timestamp"):
+        return "ts"
+    if t.startswith("date"):
+        return "date"
+    if t in ("binary", "large_binary"):
+        return "bin"
+    return t
+
+
 def main():
     spark = (
         SparkSession.builder.master("local[8]")
@@ -79,14 +114,22 @@ def main():
             continue
         t0 = time.time()
         ddf = con.sql(oracles[name])
-        drows = [tuple(r) for r in ddf.fetchall()]
-        dcols = [c for c in ddf.columns]
+        dtbl = ddf.arrow()
+        drows = [tuple(d[c] for c in dtbl.column_names) for d in dtbl.to_pylist()]
+        dcols = list(dtbl.column_names)
         duck_s = time.time() - t0
         problems = []
         if len(srows) != len(drows):
             problems.append(f"rowcount {len(srows)} != {len(drows)}")
         if sorted(scols) != sorted(dcols):
             problems.append(f"schema {sorted(scols)} != {sorted(dcols)}")
+        else:
+            stypes = dict(sdf.dtypes)
+            dtypes = {f.name: str(f.type) for f in dtbl.schema}
+            for c in scols:
+                fs, fd = _type_family(stypes[c]), _type_family(dtypes[c])
+                if fs != fd:
+                    problems.append(f"dtype {c}: spark={stypes[c]} duck={dtypes[c]}")
         if not problems:
             hs, hd = table_hash(srows, scols), table_hash(drows, dcols)
             if hs != hd:

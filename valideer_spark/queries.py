@@ -193,7 +193,7 @@ def q_lineitem_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_LINEITEM_PROFILE = "\nUNION ALL\n".join(
     f"""SELECT '{c}' AS "column", count(*) AS n_rows,
-       sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_null,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
        CAST(CAST(min({c}) AS DECIMAL(18,2)) AS VARCHAR) AS min_value,
        CAST(CAST(max({c}) AS DECIMAL(18,2)) AS VARCHAR) AS max_value
        FROM lineitem"""
@@ -652,7 +652,7 @@ ORACLE_MEDIA_METADATA = _docs_cte() + """
   WHERE s.media_ref IS NOT NULL
 )
 SELECT media_kind, count(*) AS n,
-  sum(length('payload:' || media_ref || ':' || repeat(media_kind, 8))) AS total_bytes
+  CAST(sum(length('payload:' || media_ref || ':' || repeat(media_kind, 8))) AS BIGINT) AS total_bytes
 FROM media GROUP BY media_kind ORDER BY media_kind
 """
 
@@ -908,10 +908,10 @@ def q_partition_verdict_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_PARTITION_VERDICT_TOTALS = _docs_cte() + f"""
 SELECT count(*) AS n_docs,
-  sum(CASE WHEN (regexp_full_match(doc_id, 'doc-\\d{{12}}')
+  CAST(sum(CASE WHEN (regexp_full_match(doc_id, 'doc-\\d{{12}}')
        AND len(spans) >= 1
        AND coalesce(list_aggregate(list_transform(spans, s -> {_SPAN_OK}), 'bool_and'), TRUE))
-      THEN 1 ELSE 0 END) AS n_valid
+      THEN 1 ELSE 0 END) AS BIGINT) AS n_valid
 FROM docs
 """
 
@@ -937,7 +937,7 @@ ORACLE_VERDICT_ROLLUP_TOTAL = _docs_cte() + f"""
   FROM docs
 )
 SELECT count(*) AS n_docs,
-       sum(CASE WHEN valid THEN 1 ELSE 0 END) AS n_valid,
+       CAST(sum(CASE WHEN valid THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
        bool_and(valid) AS pass
 FROM verdicts
 """
@@ -1119,7 +1119,7 @@ ORACLE_EVENTS_WINDOW_COUNTS = """
 SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start,
        event_type,
        count(*) AS n,
-       sum(CAST(round(value * 100) AS BIGINT)) AS total_cents
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
 FROM events
 GROUP BY 1, 2 ORDER BY window_start, event_type
 """
@@ -1144,7 +1144,7 @@ def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_EVENTS_JSON_PROPS = """
 SELECT event_type,
        count(*) AS n,
-       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
        min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
        max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
 FROM events GROUP BY event_type ORDER BY event_type
