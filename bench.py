@@ -165,6 +165,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": SF,
+                # timing methodology: each query runs best_of times in one
+                # JVM and reports its BEST (warm page cache / warm JIT) —
+                # comparable across rounds since every round uses the same
+                # protocol, but not to a cold single-sample run
+                "timing": f"best-of-{best_of} warm, single JVM",
                 "extras": extras,
             }
         )

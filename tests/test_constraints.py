@@ -105,11 +105,23 @@ def test_write_quarantine_routes_and_annotates(spark, tmp_path):
     assert valid.count() == n_valid
     # engine columns dropped; bucket partition kept for downstream layout
     assert set(valid.columns) == {"doc_id", "spans", "_part_id"}
-    # quarantine rows are self-describing violation rows
-    assert {"doc_id", "part_id", "violation_index", "path", "constraint",
-            "message"} <= set(quarantine.columns)
+    # quarantine rows carry the FULL rejected payload plus the exploded
+    # violation columns (one row per document x violation)
+    assert set(quarantine.columns) == {
+        "doc_id", "spans", "_part_id", "violation_index",
+        "violation_path", "violation_constraint", "violation_message",
+    }
     bad_ids = {r["doc_id"] for r in
                report.annotated.filter(~F.col("_valid")).select("doc_id").collect()}
     assert {r["doc_id"] for r in quarantine.select("doc_id").distinct().collect()} == bad_ids
+    # payload column survives with real content on every quarantine row
+    assert quarantine.filter(F.col("spans").isNull()
+                             & (F.col("violation_constraint") != "object.required")).count() == 0
+    # one row per violation: total quarantine rows == total violation rows
+    assert quarantine.count() == report.violation_rows().count()
     # disjoint routing covers the input
     assert valid.count() + len(bad_ids) == 2000
+    # fmt is validated, not silently defaulted
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unsupported fmt"):
+        write_quarantine(report, vp, qp, fmt="csv")

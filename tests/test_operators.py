@@ -255,3 +255,47 @@ def test_count_min_merge_equals_union_sketch(spark):
     ed = {r["value"]: r["est"] for r in
           count_min_estimates(direct, vals, "k", depth=4, width=64).collect()}
     assert em == ed  # merging sketches == sketching the union
+
+
+def test_count_min_estimates_null_probe_excluded(spark):
+    """NULL probe values are filtered (xxhash64 would silently drop the
+    NULL argument and address the seed-only cells, returning a
+    meaningless collision estimate)."""
+    from valideer_spark.operators import count_min_estimates, count_min_table
+
+    df = spark.range(100).select(F.format_string("k-%d", F.col("id") % 4).alias("k"))
+    cms = count_min_table(df, "k", depth=4, width=64)
+    probes = spark.createDataFrame(
+        [("k-0",), (None,)], "k string"
+    )
+    est = count_min_estimates(cms, probes, "k", depth=4, width=64).collect()
+    assert len(est) == 1 and est[0]["value"] == "k-0" and est[0]["est"] == 25
+
+
+def test_engine_partition_expr_override(spark):
+    """A caller-supplied partition_expr replaces xxhash64 bucketing."""
+    from valideer_spark.engine import ValidationEngine
+    from valideer_spark.flagship import doc_schema
+    from valideer_spark.sources import synth_docs
+
+    docs = synth_docs(spark, 500)
+    eng = ValidationEngine(
+        doc_schema(),
+        buckets=8,
+        partition_expr=lambda c: F.pmod(
+            F.substring(c, 5, 12).cast("long"), F.lit(8)
+        ).cast("int"),
+    )
+    parts = {
+        r["_part_id"]
+        for r in eng.check(docs).annotated.select("_part_id").distinct().collect()
+    }
+    assert parts == set(range(8))
+    # doc-000000000042 (hot key) must land in bucket 42 % 8 == 2
+    row = (
+        eng.check(docs)
+        .annotated.filter(F.col("doc_id") == "doc-000000000042")
+        .select("_part_id")
+        .first()
+    )
+    assert row["_part_id"] == 2

@@ -148,14 +148,11 @@ def test_query_registry_consistency():
 
     assert set(ORACLES) <= set(QUERIES)
     assert all(callable(f) for f in QUERIES.values())
+    # round 3: every registered query carries a DuckDB oracle — the five
+    # formerly rows-only entries were converted to seeded-containment /
+    # bound-style oracles (VERDICT r2 item 3)
     rows_only = set(QUERIES) - set(ORACLES)
-    assert rows_only == {
-        "flagship_partition_verdicts",   # xxhash bucketing (totals gated)
-        "minhash_lsh_documents",         # raw candidates (verified gated)
-        "simhash_documents",             # raw groups (seeded recall gated)
-        "simhash_near_dups",             # raw pairs (seeded recall gated)
-        "drift_documents_nchars",        # GK approx (exact twin gated)
-    }
+    assert rows_only == set()
 
 
 def test_partition_metrics_sum_to_global(spark):

@@ -223,7 +223,13 @@ class Enum(Validator):
 
     @property
     def humanized_name(self):
-        return "one of {%s}" % ", ".join(repr(v) for v in self.values)
+        # deterministic order: a set iterates in PYTHONHASHSEED-bound order,
+        # which would make the message differ between the queries() and
+        # oracle_sql() processes if the driver ever splits them; sort by
+        # repr so the message is stable across processes (and mixed types)
+        return "one of {%s}" % ", ".join(
+            sorted(repr(v) for v in self.values)
+        )
 
 
 class Condition(Validator):
@@ -612,17 +618,22 @@ class Object(Type):
         self._property_validators = [
             (prop, parse(schema)) for prop, schema in merged.items()
         ]
+        # set for membership; ordered list (declaration order) for message
+        # rendering — a set's iteration order is PYTHONHASHSEED-bound, which
+        # would make multi-key missing-required messages differ between
+        # processes (and between kernel and lowered plan)
         self._required_keys = set(required)
+        self._required_order = list(required)
         self._all_keys = {prop for prop, _ in self._property_validators}
         self._additional = additional
         self._ignore_optional_errors = ignore_optional_errors
 
     def validate(self, value, adapt=True):
         super().validate(value)
-        missing = self._required_keys.difference(value)
+        missing = [k for k in self._required_order if k not in value]
         if missing:
             raise ValidationError(
-                "missing required properties: %s" % list(missing), value
+                "missing required properties: %s" % missing, value
             )
 
         result = value.copy() if adapt else None

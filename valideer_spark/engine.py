@@ -74,6 +74,10 @@ def write_partitioned(
     and 256 buckets that is ~400 GB per partition — many parquet files
     each, so no small-file problem, while resume and per-partition
     verdicts stay aligned with the checkpoint key."""
+    if fmt not in ("parquet", "iceberg"):
+        raise ValueError(
+            "unsupported fmt %r: expected 'parquet' or 'iceberg'" % (fmt,)
+        )
     out = df.withColumn("_part_id", deterministic_partition_id(F.col(id_col), buckets))
     writer = out.write.mode("overwrite").partitionBy("_part_id")
     if fmt == "iceberg":
@@ -193,6 +197,7 @@ class ValidationEngine:
         checkpoint_dir: Optional[str] = None,
         checkpoint_format: str = "parquet",
         checkpoint_table: Optional[str] = None,
+        partition_expr=None,
     ):
         """``checkpoint_format='iceberg'`` maintains the checkpoint with
         ``MERGE INTO checkpoint_table`` (idempotent per partition key) —
@@ -201,6 +206,13 @@ class ValidationEngine:
         self.schema = schema
         self.id_col = id_col
         self.buckets = buckets
+        # optional Column -> Column override for the deterministic bucket id
+        # (default: xxhash64(id) % buckets). Callers whose ids carry a
+        # natural numeric key can supply a cheaper / externally-computable
+        # bucketing (e.g. numeric-suffix mod) — the checkpoint layout and
+        # verdict rollup are agnostic to WHICH deterministic function is
+        # used, only that it is stable across runs.
+        self.partition_expr = partition_expr
         self.checkpoint_dir = checkpoint_dir
         self.checkpoint_format = checkpoint_format
         self.checkpoint_table = checkpoint_table
@@ -219,8 +231,13 @@ class ValidationEngine:
 
     def check(self, df: DataFrame, adapt: bool = False) -> CheckReport:
         plan = self.plan_for(df)
+        part = (
+            self.partition_expr(F.col(self.id_col))
+            if self.partition_expr is not None
+            else deterministic_partition_id(F.col(self.id_col), self.buckets)
+        )
         annotated = plan.check(df, adapt=adapt, violations=True).withColumn(
-            "_part_id", deterministic_partition_id(F.col(self.id_col), self.buckets)
+            "_part_id", part
         )
         return CheckReport(
             annotated=annotated, plan=plan, id_col=self.id_col, buckets=self.buckets
@@ -341,9 +358,22 @@ def write_quarantine(
     deterministic bucket id by default, so downstream repair jobs and
     checkpoint resume see the same layout as :func:`write_partitioned`.
     Quarantine volume is the invalid fraction only — the predicate filter
-    is pushed into the scan for columnar sources."""
-    drop = [c for c in ("_valid", "_violations", "_n_violations") if c in report.annotated.columns]
-    valid = report.annotated.filter(F.col("_valid")).drop(*drop)
+    is pushed into the scan for columnar sources.
+
+    Quarantine schema: the document's own payload columns plus
+    ``_part_id`` and the exploded ``violation_index`` /
+    ``violation_path`` / ``violation_constraint`` / ``violation_message``
+    (prefixed so they can never collide with payload column names) —
+    one row per (document, violation), built by exploding ``_violations``
+    inline with the payload (no self-join back onto the report)."""
+    if fmt not in ("parquet", "iceberg"):
+        raise ValueError(
+            "unsupported fmt %r: expected 'parquet' or 'iceberg'" % (fmt,)
+        )
+    engine_cols = ("_valid", "_violations", "_n_violations")
+    payload = [c for c in report.annotated.columns if c not in engine_cols and c != "_part_id"]
+
+    valid = report.annotated.filter(F.col("_valid")).select(*payload, "_part_id")
     writer = valid.write.mode("overwrite")
     if partition_by_bucket:
         writer = writer.partitionBy("_part_id")
@@ -352,10 +382,25 @@ def write_quarantine(
     else:
         writer.parquet(valid_path)
 
-    bad = report.violation_rows()
+    bad = (
+        report.annotated.filter(~F.col("_valid"))
+        .select(
+            *payload,
+            "_part_id",
+            F.posexplode("_violations").alias("violation_index", "_v"),
+        )
+        .select(
+            *payload,
+            "_part_id",
+            "violation_index",
+            F.col("_v.path").alias("violation_path"),
+            F.col("_v.constraint").alias("violation_constraint"),
+            F.col("_v.message").alias("violation_message"),
+        )
+    )
     writer = bad.write.mode("overwrite")
     if partition_by_bucket:
-        writer = writer.partitionBy("part_id")
+        writer = writer.partitionBy("_part_id")
     if fmt == "iceberg":
         writer.format("iceberg").saveAsTable(quarantine_path)
     else:

@@ -134,7 +134,13 @@ def count_min_estimates(
     """Point-query a count-min table for each value in ``values[column]``:
     est = min over depth rows of the addressed counter (0 when the cell
     was never touched). Broadcast-joins the KB-size sketch — no rescan of
-    the sketched input."""
+    the sketched input.
+
+    NULL probe values are excluded (mirroring :func:`count_min_table`,
+    which never adds NULLs to the sketch): xxhash64 ignores a NULL
+    argument, so a NULL would otherwise address the seed-only cells and
+    return a meaningless collision-based estimate instead of absent."""
+    values = values.filter(F.col(column).isNotNull())
     cells = F.array(
         *[
             F.struct(

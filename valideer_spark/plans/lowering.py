@@ -1479,7 +1479,7 @@ def _lower_object(v: K.Object, dtype: T.DataType) -> Lowered:
         node = lower(validator, field_types[name]) if name in field_types else None
         declared.append((name, validator, node))
 
-    required = [name for name in v._required_keys]
+    required = list(getattr(v, "_required_order", v._required_keys))
 
     extras = [f.name for f in dtype.fields if f.name not in v._all_keys]
     additional = v._additional

@@ -123,13 +123,45 @@ FROM docs
 
 
 def q_flagship_partition_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    report = _flagship_engine(buckets=64).check(_docs(spark))
+    """Per-partition verdict rollup, FULLY oracled: the gate engine uses
+    an externally-computable bucket function (numeric doc_id suffix mod
+    64) via the engine's ``partition_expr`` hook, so DuckDB can rebuild
+    every per-partition row. Production default stays xxhash64 (uniform
+    for arbitrary ids); the rollup/checkpoint machinery is agnostic to
+    which deterministic bucketing is used — that is exactly what this
+    gate proves."""
+    key = ("flagship-mod64",)
+    if key not in _ENGINES:
+        _ENGINES[key] = ValidationEngine(
+            doc_schema(),
+            buckets=64,
+            partition_expr=lambda c: F.pmod(
+                F.substring(c, 5, 12).cast("long"), F.lit(64)
+            ).cast("int"),
+        )
+    report = _ENGINES[key].check(_docs(spark))
     return report.verdicts().select(
         F.col("_part_id").alias("part_id"),
         "n_docs",
         "n_valid",
         F.col("pass"),
-    )
+    ).orderBy("part_id")
+
+
+ORACLE_FLAGSHIP_PARTITION_VERDICTS = _docs_cte() + f"""
+, verdicts AS (
+  SELECT CAST(TRY_CAST(substr(doc_id, 5, 12) AS BIGINT) % 64 AS INTEGER) AS part_id,
+    (regexp_full_match(doc_id, 'doc-\\d{{12}}')
+     AND len(spans) >= 1
+     AND coalesce(list_aggregate(list_transform(spans, s -> {_SPAN_OK}), 'bool_and'), TRUE)
+    ) AS valid
+  FROM docs
+)
+SELECT part_id, count(*) AS n_docs,
+       CAST(sum(CASE WHEN valid THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+       (count(*) = sum(CASE WHEN valid THEN 1 ELSE 0 END)) AS pass
+FROM verdicts GROUP BY part_id ORDER BY part_id
+"""
 
 
 def q_docs_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -281,8 +313,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLES: Dict[str, str] = {
     "flagship_violation_metrics": ORACLE_FLAGSHIP_VIOLATION_METRICS,
     "flagship_doc_verdicts": ORACLE_FLAGSHIP_DOC_VERDICTS,
-    # flagship_partition_verdicts: xxhash64 bucketing is Spark-specific →
-    # rows-only check (weaker, by design)
+    "flagship_partition_verdicts": ORACLE_FLAGSHIP_PARTITION_VERDICTS,
     "docs_uniqueness": ORACLE_DOCS_UNIQUENESS,
     "docs_referential_media": ORACLE_DOCS_REFERENTIAL_MEDIA,
     "lineitem_profile": ORACLE_LINEITEM_PROFILE,
@@ -346,6 +377,27 @@ _JACCARD_MAX_DF = 20
 
 
 def q_jaccard_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRIMARY Jaccard path = the 100 TB path: banded MinHash-LSH
+    candidate generation followed by linear exact-Jaccard verification at
+    threshold 1/2, gated against the full uncapped exact-join oracle.
+    The oracle thereby also proves LSH recall is total at this threshold
+    on this corpus (16 bands x 4 rows; a missed >=0.5 pair would go red).
+    The capped inverted-index exact join remains the small-corpus twin
+    (jaccard_pairs_inverted)."""
+    from .operators.dedup import jaccard_verify_candidates, minhash_lsh_candidates
+
+    df = _documents_with_dupes(spark, sf_dir)
+    cand = minhash_lsh_candidates(df, "text", "doc_id")
+    return jaccard_verify_candidates(
+        df, cand, "text", "doc_id", n=3, threshold_num=1, threshold_den=2
+    ).orderBy("a_id", "b_id")
+
+
+def q_jaccard_pairs_inverted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-corpus twin: exact n-gram Jaccard via the document-frequency
+    capped inverted-index join (the cap bounds every join bucket by
+    construction — the property that makes even the exact variant safe
+    to run wide)."""
     from .operators.dedup import ngram_jaccard_pairs
 
     df = _documents_with_dupes(spark, sf_dir)
@@ -367,6 +419,27 @@ toks AS (
 ), inv AS (
   SELECT doc_id, unnest(shingles) AS shingle FROM sh WHERE len(shingles) > 0
 )"""
+
+# primary-path oracle: UNCAPPED exact Jaccard at threshold 1/2 — what the
+# LSH->verify pipeline must reproduce (verification computes similarity on
+# full shingle sets)
+ORACLE_JACCARD_PAIRS_PRIMARY = f"""
+WITH {_DOCS_DUPES_SQL},
+{_JACCARD_SHINGLE_CTES},
+sized AS (
+  SELECT doc_id, count(*) AS n_sh FROM inv GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_common
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT p.a_id, p.b_id, p.n_common, sa.n_sh AS n_a, sb.n_sh AS n_b
+FROM pairs p
+JOIN sized sa ON sa.doc_id = p.a_id
+JOIN sized sb ON sb.doc_id = p.b_id
+WHERE p.n_common * 2 >= 1 * (sa.n_sh + sb.n_sh - p.n_common)
+ORDER BY a_id, b_id
+"""
 
 ORACLE_JACCARD_PAIRS_DOCUMENTS = f"""
 WITH {_DOCS_DUPES_SQL},
@@ -586,22 +659,60 @@ FROM scored ORDER BY score DESC, vec_id ASC LIMIT 20
 
 
 def q_minhash_lsh_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded-recall oracle on the RAW banded-LSH candidate generator
+    (pre-verify): identical text => identical shingle set => identical
+    MinHash signature => every band collides, so each seeded duplicate
+    pair MUST appear with n_bands_hit == bands (16). DuckDB enumerates
+    the expected pairs from the base table. (The raw candidate set for
+    non-identical pairs is hash-seeded — its semantics are gated
+    end-to-end by minhash_verified_pairs.)"""
     from .operators.dedup import minhash_lsh_candidates
 
     df = _documents_with_dupes(spark, sf_dir)
-    return minhash_lsh_candidates(df, "text", "doc_id").orderBy("a_id", "b_id")
+    cands = minhash_lsh_candidates(df, "text", "doc_id")
+    return (
+        cands.filter(F.col("b_id") == F.col("a_id") + 1000000)
+        .select("a_id", "b_id", "n_bands_hit")
+        .orderBy("a_id")
+    )
+
+
+ORACLE_MINHASH_LSH_DOCUMENTS = """
+SELECT doc_id AS a_id, doc_id + 1000000 AS b_id, CAST(16 AS BIGINT) AS n_bands_hit
+FROM documents WHERE doc_id % 10 = 0 ORDER BY a_id
+"""
 
 
 def q_simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded-group oracle on SimHash exact-fingerprint grouping:
+    identical text => identical simhash, so every seeded (base, base+1e6)
+    pair must land in one fingerprint group. Joining the exploded group
+    members back onto themselves surfaces exactly those pairs; DuckDB
+    enumerates the expectation. (Raw fingerprint values are
+    xxhash64-seeded — Spark-specific by design.)"""
     from .operators.dedup import simhash_duplicates
 
     df = _documents_with_dupes(spark, sf_dir)
-    # scalar columns only: the driver canonicalizer cannot sort list cells
-    return simhash_duplicates(df).select(
-        "simhash",
-        "n_docs",
-        F.array_join(F.col("ids").cast("array<string>"), ",").alias("ids"),
-    ).orderBy("simhash")
+    members = simhash_duplicates(df).select(
+        "simhash", F.explode("ids").alias("id")
+    )
+    base = members.filter(F.col("id") < 1000000).alias("a")
+    dup = members.filter(F.col("id") >= 1000000).alias("b")
+    return (
+        base.join(
+            dup,
+            (F.col("a.simhash") == F.col("b.simhash"))
+            & (F.col("b.id") == F.col("a.id") + 1000000),
+        )
+        .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+        .orderBy("a_id")
+    )
+
+
+ORACLE_SIMHASH_DOCUMENTS = """
+SELECT doc_id AS a_id, doc_id + 1000000 AS b_id
+FROM documents WHERE doc_id % 10 = 0 ORDER BY a_id
+"""
 
 
 def q_ann_lsh_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -658,12 +769,60 @@ FROM media GROUP BY media_kind ORDER BY media_kind
 
 
 def q_drift_documents_nchars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GK-sketch drift with a BOUND oracle (the approx_distinct_bound
+    pattern): each approx quantile's RANK in the exact data must satisfy
+    the GK guarantee |rank - p*n| <= eps*n (+1 for rank-convention slack).
+    Spark computes the exact ranks of the sketch outputs (cnt_lt/cnt_le,
+    plain aggregations); DuckDB independently recomputes the side sizes
+    and pins every per-prob check to true. Values themselves are fully
+    oracled by the exact-percentile twin (drift_documents_exact)."""
     from .operators.drift import quantile_drift
 
+    accuracy = 10000
     docs = load_table(spark, "documents", sf_dir)
     a = docs.filter(F.col("doc_id") % 2 == 0)
     b = docs.filter(F.col("doc_id") % 2 == 1)
-    return quantile_drift(a, b, "n_chars")
+    dr = quantile_drift(a, b, "n_chars", accuracy=accuracy)
+
+    def rank_stats(side, qcol):
+        j = side.select(F.col("n_chars").alias("x")).crossJoin(
+            F.broadcast(dr.select("prob", "q_a", "q_b"))
+        )
+        return j.groupBy("prob").agg(
+            F.sum((F.col("x") < F.col(qcol)).cast("long")).alias(f"lt{qcol[-2:]}"),
+            F.sum((F.col("x") <= F.col(qcol)).cast("long")).alias(f"le{qcol[-2:]}"),
+            F.count(F.lit(1)).alias(f"n{qcol[-2:]}"),
+        )
+
+    sa = rank_stats(a, "q_a")
+    sb = rank_stats(b, "q_b")
+    joined = sa.join(sb, "prob")
+    p = F.col("prob")
+
+    def ok(side_sfx):
+        lt, le, n = (F.col(f"{c}{side_sfx}") for c in ("lt", "le", "n"))
+        slack = F.lit(1.0) + n.cast("double") / accuracy
+        target = p * n.cast("double")
+        return (lt.cast("double") <= target + slack) & (
+            le.cast("double") >= target - slack
+        )
+
+    return joined.select(
+        p.cast("decimal(4,2)").cast("string").alias("prob"),
+        F.col("n_a"),
+        F.col("n_b"),
+        ok("_a").alias("ok_a"),
+        ok("_b").alias("ok_b"),
+    ).orderBy("prob")
+
+
+ORACLE_DRIFT_DOCUMENTS_NCHARS = "\nUNION ALL\n".join(
+    f"""SELECT CAST(CAST({p} AS DECIMAL(4,2)) AS VARCHAR) AS prob,
+      (SELECT count(*) FROM documents WHERE doc_id % 2 = 0) AS n_a,
+      (SELECT count(*) FROM documents WHERE doc_id % 2 = 1) AS n_b,
+      true AS ok_a, true AS ok_b"""
+    for p in [0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99]
+) + "\nORDER BY prob"
 
 
 _DRIFT_PROBS = [0.01, 0.25, 0.5, 0.75, 0.99]
@@ -707,6 +866,7 @@ QUERIES.update(
     {
         "dedup_exact_documents": q_dedup_exact_documents,
         "jaccard_pairs_documents": q_jaccard_pairs_documents,
+        "jaccard_pairs_inverted": q_jaccard_pairs_inverted,
         "minhash_verified_pairs": q_minhash_verified_pairs,
         "text_stats_documents": q_text_stats_documents,
         "token_count_documents": q_token_count_documents,
@@ -725,7 +885,8 @@ QUERIES.update(
 ORACLES.update(
     {
         "dedup_exact_documents": ORACLE_DEDUP_EXACT_DOCUMENTS,
-        "jaccard_pairs_documents": ORACLE_JACCARD_PAIRS_DOCUMENTS,
+        "jaccard_pairs_documents": ORACLE_JACCARD_PAIRS_PRIMARY,
+        "jaccard_pairs_inverted": ORACLE_JACCARD_PAIRS_DOCUMENTS,
         "minhash_verified_pairs": ORACLE_MINHASH_VERIFIED_PAIRS,
         "text_stats_documents": ORACLE_TEXT_STATS_DOCUMENTS,
         "token_count_documents": ORACLE_TOKEN_COUNT_DOCUMENTS,
@@ -735,12 +896,9 @@ ORACLES.update(
         "ann_lsh_embeddings": ORACLE_ANN_LSH_EMBEDDINGS,
         "media_metadata": ORACLE_MEDIA_METADATA,
         "drift_documents_exact": ORACLE_DRIFT_DOCUMENTS_EXACT,
-        # minhash_lsh_documents / simhash_documents: raw candidate sets are
-        # xxhash64-seeded (Spark-specific) → rows-only; their *semantics*
-        # are gated by minhash_verified_pairs (full oracle) and
-        # simhash_seeded_recall (seeded-pair recall oracle)
-        # drift_documents_nchars: approximate GK sketch → rows-only; the
-        # exact twin drift_documents_exact carries the oracle
+        "drift_documents_nchars": ORACLE_DRIFT_DOCUMENTS_NCHARS,
+        "minhash_lsh_documents": ORACLE_MINHASH_LSH_DOCUMENTS,
+        "simhash_documents": ORACLE_SIMHASH_DOCUMENTS,
     }
 )
 
@@ -829,11 +987,37 @@ ORACLES["domain_diff_orders"] = ORACLE_DOMAIN_DIFF_ORDERS
 
 
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hamming-banded SimHash near-duplicate pairs (rows-only: xxhash64)."""
+    """Contract gate over hamming-banded SimHash candidate pairs: DuckDB
+    recomputes the seeded expectation (every seeded exact-dup pair, which
+    has hamming 0, must be surfaced) and pins the operator invariants —
+    hamming bounded by max_hamming, canonical a<b ordering, no duplicate
+    pairs. (The non-seeded pair set is xxhash64-fingerprint-dependent,
+    Spark-specific by design; its banding recall is separately gated by
+    simhash_seeded_recall.)"""
     from .operators.dedup import simhash_candidates
 
     df = _documents_with_dupes(spark, sf_dir)
-    return simhash_candidates(df, max_hamming=3).orderBy("a_id", "b_id")
+    pairs = simhash_candidates(df, max_hamming=3)
+    return pairs.agg(
+        F.sum(
+            (
+                (F.col("b_id") == F.col("a_id") + 1000000)
+                & (F.col("hamming") == 0)
+            ).cast("long")
+        ).alias("n_seeded_found"),
+        (F.max("hamming") <= 3).alias("hamming_bounded"),
+        (F.sum((F.col("a_id") >= F.col("b_id")).cast("long")) == 0).alias("order_ok"),
+        (
+            F.count_distinct(F.col("a_id"), F.col("b_id")) == F.count(F.lit(1))
+        ).alias("pairs_distinct"),
+    )
+
+
+ORACLE_SIMHASH_NEAR_DUPS = """
+SELECT CAST(count(*) AS BIGINT) AS n_seeded_found,
+       true AS hamming_bounded, true AS order_ok, true AS pairs_distinct
+FROM documents WHERE doc_id % 10 = 0
+"""
 
 
 def q_simhash_seeded_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1327,6 +1511,84 @@ ORACLES["events_sessionization"] = ORACLE_EVENTS_SESSIONIZATION
 QUERIES["approx_distinct_bound"] = q_approx_distinct_bound
 ORACLES["approx_distinct_bound"] = ORACLE_APPROX_DISTINCT_BOUND
 
+_STREAM_GATE_SEQ = [0]
+
+
+def q_dedup_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming cross-batch dedup (applyInPandasWithState) replayed over
+    a 3-micro-batch file source: documents (with seeded dupes) are
+    written as three parquet slices in ascending id ranges with ascending
+    mtimes, streamed back one file per trigger (availableNow), and
+    deduplicated by the stateful first-seen operator. Batch order follows
+    id order, so the first-seen winner per normalized-content key is the
+    global min id — which DuckDB recomputes exactly. This gates the
+    custom stateful streaming operator end-to-end (state surviving
+    across micro-batches: later batches hold the seeded +1000000 copies,
+    which must all be dropped)."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from .streaming.stateful import dedup_stream
+
+    all_docs = _documents_with_dupes(spark, sf_dir).select("doc_id", "text")
+
+    base = tempfile.mkdtemp(prefix="dedup_stream_gate_")
+    src = os.path.join(base, "src")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(src)
+    n = all_docs.agg(F.max("doc_id")).first()[0]
+    cuts = [n // 3, 2 * n // 3]
+    slices = [
+        all_docs.filter(F.col("doc_id") <= cuts[0]),
+        all_docs.filter((F.col("doc_id") > cuts[0]) & (F.col("doc_id") <= cuts[1])),
+        all_docs.filter(F.col("doc_id") > cuts[1]),
+    ]
+    for k, sl in enumerate(slices):
+        sl.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(src, f"slice={k}")
+        )
+        _time.sleep(1.1)  # distinct mtimes => deterministic batch order
+
+    stream = (
+        spark.readStream.schema(all_docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "slice=*"))
+    )
+    winners = dedup_stream(stream, "text", "doc_id")
+    _STREAM_GATE_SEQ[0] += 1
+    qname = f"dedup_stream_replay_out_{_STREAM_GATE_SEQ[0]}"
+    q = (
+        winners.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    out = (
+        spark.table(qname)
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+        .orderBy("doc_id")
+    )
+    out = spark.createDataFrame(out.collect(), out.schema)  # detach from sink
+    shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
+ORACLE_DEDUP_STREAM_REPLAY = f"""
+WITH {_DOCS_DUPES_SQL}
+SELECT CAST(min(doc_id) AS BIGINT) AS doc_id
+FROM docs_with_dupes
+GROUP BY {_NORM_SQL.format(col='text')}
+ORDER BY doc_id
+"""
+
+QUERIES["dedup_stream_replay"] = q_dedup_stream_replay
+ORACLES["dedup_stream_replay"] = ORACLE_DEDUP_STREAM_REPLAY
+
 QUERIES["simhash_near_dups"] = q_simhash_near_dups
 QUERIES["simhash_seeded_recall"] = q_simhash_seeded_recall
 QUERIES["winnowing_fingerprints"] = q_winnowing_fingerprints
@@ -1348,6 +1610,7 @@ ORACLES["partition_constraint_totals"] = ORACLE_FLAGSHIP_VIOLATION_METRICS
 
 QUERIES["partition_verdict_totals"] = q_partition_verdict_totals
 ORACLES["simhash_seeded_recall"] = ORACLE_SIMHASH_SEEDED_RECALL
+ORACLES["simhash_near_dups"] = ORACLE_SIMHASH_NEAR_DUPS
 ORACLES["winnowing_fingerprints"] = ORACLE_WINNOWING_FINGERPRINTS
 ORACLES["partition_verdict_totals"] = ORACLE_PARTITION_VERDICT_TOTALS
 
