@@ -1638,10 +1638,11 @@ def _typed_cte() -> str:
 
 def _kernel_msg(validator, value) -> str:
     """Exact first-violation message the row kernel produces for ``value``
-    — the oracle embeds these as literals. Built at oracle-construction
-    time IN-PROCESS because Enum messages embed Python set iteration order
-    (PYTHONHASHSEED-dependent, stable only within one process; the driver
-    builds oracle_sql() and runs queries() in the same process)."""
+    — the oracle embeds these as literals. Round 3: kernel messages are
+    process-independent (Enum sorts values by repr; Object lists missing
+    required keys in declaration order), so the driver may build
+    oracle_sql() and run queries() in DIFFERENT processes —
+    verify_all.sh asserts the oracle text is PYTHONHASHSEED-stable."""
     from .core import ValidationError
 
     try:
