@@ -1504,6 +1504,81 @@ ORACLES["lineitem_top_values"] = ORACLE_LINEITEM_TOP_VALUES
 
 QUERIES["events_window_counts"] = q_events_window_counts
 ORACLES["events_window_counts"] = ORACLE_EVENTS_WINDOW_COUNTS
+
+
+def q_events_stream_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-RUNTIME event-time windowed aggregation gated against
+    the batch oracle: the events table is split into three parquet
+    slices (event_id mod 3 — batch order is irrelevant in complete
+    mode), streamed back one file per trigger (availableNow, so the
+    windowed state is built across three real micro-batches), and
+    aggregated with the same 1-hour tumbling windows as the batch twin
+    (events_window_counts). Complete output mode emits every window, so
+    the cross-batch streaming state must reproduce the batch aggregation
+    exactly — which DuckDB recomputes. (Append-mode WATERMARK semantics
+    — late rows dropped, windows withheld until the watermark passes —
+    are pytest-gated in tests/test_streaming.py; the emission boundary
+    is engine-internal and not SQL-reproducible.)"""
+    import os
+    import shutil
+    import tempfile
+
+    # watermarks require TIMESTAMP (instant) columns; the parquet ts is
+    # NTZ. The cast interprets the naive value in the session timezone
+    # and the output renders it back in the same zone — an exact
+    # round-trip for whole-hour-offset zones (the sandbox runs UTC)
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_type",
+        "value",
+    )
+    base = tempfile.mkdtemp(prefix="events_stream_gate_")
+    src = os.path.join(base, "src")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(src)
+    for k in range(3):
+        ev.filter(F.col("event_id") % 3 == k).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(src, f"slice={k}"))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "slice=*"))
+    )
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("total_cents"),
+        )
+    )
+    _STREAM_GATE_SEQ[0] += 1
+    qname = f"events_stream_windows_out_{_STREAM_GATE_SEQ[0]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    out = spark.table(qname).select(
+        F.col("window").getField("start").cast("string").alias("window_start"),
+        "event_type",
+        "n",
+        "total_cents",
+    ).orderBy("window_start", "event_type")
+    out = spark.createDataFrame(out.collect(), out.schema)  # detach from sink
+    shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
+QUERIES["events_stream_windows"] = q_events_stream_windows
+ORACLES["events_stream_windows"] = ORACLE_EVENTS_WINDOW_COUNTS
 QUERIES["events_json_props"] = q_events_json_props
 ORACLES["events_json_props"] = ORACLE_EVENTS_JSON_PROPS
 QUERIES["events_sessionization"] = q_events_sessionization
