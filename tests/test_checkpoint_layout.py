@@ -128,3 +128,41 @@ def test_reserved_columns_not_validated(spark, tmp_path):
     )
     out = plan.check(df, adapt=False)
     assert all(r["_valid"] for r in out.collect())
+
+
+def test_resume_with_custom_partition_expr_does_not_source_prune(spark, tmp_path):
+    """A custom partition_expr must DISABLE stored-_part_id source
+    pruning: the layout on disk is xxhash-bucketed (write_partitioned),
+    so its directories do not correspond to the custom buckets — pruning
+    on them would silently skip pending rows (regression for the
+    mismatched-bucketing data-loss hazard)."""
+    docs = synth_docs(spark, 400)
+    data_path = str(tmp_path / "docs_bucketed")
+    write_partitioned(docs, data_path, buckets=8)  # xxhash64 layout
+
+    suffix_mod = lambda c: F.pmod(  # noqa: E731
+        F.substring(c, 5, 12).cast("long"), F.lit(8)
+    ).cast("int")
+    eng = ValidationEngine(
+        doc_schema(),
+        buckets=8,
+        partition_expr=suffix_mod,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+
+    stored = spark.read.parquet(data_path)
+    # run 1: complete custom buckets 0-3 only (filter on the RECOMPUTED
+    # custom bucket, independent of the stored layout)
+    part1 = stored.filter(suffix_mod(F.col("doc_id")) < 4)
+    first = eng.run_with_checkpoint(part1, run_id="r1")
+    assert first.count() == 4
+
+    # run 2 over the FULL stored layout: exactly the docs of custom
+    # buckets 4-7 must be validated — with stored-column pruning active,
+    # rows whose STORED xxhash bucket collides with a completed custom id
+    # would be skipped before validation and this count would come short
+    expected = stored.filter(suffix_mod(F.col("doc_id")) >= 4).count()
+    second = eng.run_with_checkpoint(stored, run_id="r2")
+    rows = second.collect()
+    assert {r["part_id"] for r in rows} == {4, 5, 6, 7}
+    assert sum(r["n_docs"] for r in rows) == expected

@@ -158,3 +158,38 @@ def test_windowed_counts_with_watermark(spark, tmp_path):
     rows = {(r["window_start"], r["event_type"]): r["n"] for r in out3.collect()}
     assert rows[(t0, "click")] == 3  # unchanged: straggler dropped
     assert (t0 + dt.timedelta(minutes=30), "view") in rows  # W: [00:30,00:40)
+
+
+def test_stateful_dedup_stream_numeric_tiebreak(spark, tmp_path):
+    """Within-batch ties resolve in the id column's OWN type ordering: a
+    LONG id column must pick the numeric min (669 < 1641), not the
+    lexicographic one ('1641' < '669') — regression for the string-cast
+    tie-break bug."""
+    from pyspark.sql import types as T
+
+    from valideer_spark.streaming import dedup_stream
+
+    input_dir = str(tmp_path / "docs_in")
+    out_dir = str(tmp_path / "dedup_out")
+    ckpt = str(tmp_path / "dedup_ckpt")
+    os.makedirs(input_dir)
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    spark.createDataFrame(
+        [(1641, "same content"), (669, "same content"), (7, "other")], schema
+    ).coalesce(1).write.mode("append").parquet(input_dir)
+
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    q = (
+        dedup_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    out = spark.read.parquet(out_dir)
+    assert dict(out.dtypes)["doc_id"] == "bigint"
+    assert {r["doc_id"] for r in out.collect()} == {669, 7}

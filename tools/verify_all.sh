@@ -33,4 +33,8 @@ spark.stop()
 PY
 echo "== bench (sf0.1) =="
 python bench.py
+echo "== refresh spark-submit py-files artifact =="
+# keep dist/valideer_spark.zip in lockstep with the verified source tree
+# (a stale zip means spark-submit deployments run old code)
+python tools/package_pyfiles.py
 echo "ALL VERIFY STEPS PASSED"

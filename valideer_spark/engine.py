@@ -281,18 +281,35 @@ class ValidationEngine:
         applied as a NOT-IN source filter, which Spark turns into
         partition pruning: completed partitions are never scanned. For
         unpartitioned inputs the filter falls back to a broadcast
-        anti-join after the scan (rows skipped, I/O not)."""
+        anti-join after the scan (rows skipped, I/O not).
+
+        CONTRACT for source pruning: the stored layout's bucketing must
+        be THIS engine's bucketing — :func:`write_partitioned` with the
+        same ``buckets`` and the default xxhash64 scheme. A layout
+        bucketed differently would route rows of still-pending
+        (recomputed) buckets inside completed STORED directories, and a
+        source filter would skip them before the engine ever saw them —
+        silent under-validation. The engine therefore auto-disables
+        source pruning when a custom ``partition_expr`` is configured
+        (``write_partitioned`` always uses the default scheme, so a
+        stored layout cannot match a custom expression); for a layout
+        written with a different ``buckets`` count, drop the stored
+        ``_part_id`` column before calling (the anti-join below then
+        handles resume correctness, at full-scan cost)."""
         spark = df.sparkSession
         run_id = run_id or uuid.uuid4().hex
         done = self.completed_partitions(spark)
 
-        if done is not None and "_part_id" in df.columns:
+        if (
+            done is not None
+            and "_part_id" in df.columns
+            and self.partition_expr is None
+        ):
             # source pruning: with a write_partitioned layout the NOT-IN
             # filter becomes PartitionFilters (completed buckets never
-            # scanned). Pure I/O optimization — correctness comes from the
-            # anti-join below, which also covers a layout written with a
-            # DIFFERENT bucket count than this engine's (the stored
-            # _part_id would then disagree with the recomputed one).
+            # scanned). Only sound when the stored bucketing matches this
+            # engine's (contract above) — never applied with a custom
+            # partition_expr.
             done_ids = [r["part_id"] for r in done.collect()]  # ≤ buckets rows
             if done_ids:
                 df = df.filter(~F.col("_part_id").isin(done_ids))
@@ -349,10 +366,10 @@ def write_quarantine(
 ) -> None:
     """Route one checked frame to two sinks — the production
     validate-then-quarantine pattern: valid documents (engine columns
-    dropped) to ``valid_path``, invalid documents WITH their exploded
-    violation rows joined back on (doc_id, part_id) to
-    ``quarantine_path`` so the quarantine is self-describing (every row
-    says why it was rejected).
+    dropped) to ``valid_path``; invalid documents to ``quarantine_path``
+    with their full payload plus exploded ``violation_*`` columns, so
+    the quarantine is self-describing (every row says why its document
+    was rejected).
 
     One pass over the input per sink; both writes partition by the
     deterministic bucket id by default, so downstream repair jobs and

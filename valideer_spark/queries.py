@@ -693,7 +693,11 @@ def q_simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import simhash_duplicates
 
     df = _documents_with_dupes(spark, sf_dir)
-    members = simhash_duplicates(df).select(
+    # gate-only: lift the production id-sample cap — a fingerprint group
+    # with >= cap members would truncate away the (+1000000, sort-last)
+    # dup ids and falsely redden the seeded-containment check. Gate-scale
+    # corpora are small; production keeps the default bounded sample.
+    members = simhash_duplicates(df, max_sample_ids=10_000_000).select(
         "simhash", F.explode("ids").alias("id")
     )
     base = members.filter(F.col("id") < 1000000).alias("a")
@@ -1519,10 +1523,6 @@ def q_events_stream_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     — late rows dropped, windows withheld until the watermark passes —
     are pytest-gated in tests/test_streaming.py; the emission boundary
     is engine-internal and not SQL-reproducible.)"""
-    import os
-    import shutil
-    import tempfile
-
     # watermarks require TIMESTAMP (instant) columns; the parquet ts is
     # NTZ. The cast interprets the naive value in the session timezone
     # and the output renders it back in the same zone — an exact
@@ -1533,48 +1533,33 @@ def q_events_stream_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "value",
     )
-    base = tempfile.mkdtemp(prefix="events_stream_gate_")
-    src = os.path.join(base, "src")
-    ckpt = os.path.join(base, "ckpt")
-    os.makedirs(src)
-    for k in range(3):
-        ev.filter(F.col("event_id") % 3 == k).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(src, f"slice={k}"))
+    slices = [ev.filter(F.col("event_id") % 3 == k) for k in range(3)]
 
-    stream = (
-        spark.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(os.path.join(src, "slice=*"))
-    )
-    agg = (
-        stream.withWatermark("ts", "30 minutes")
-        .groupBy(F.window("ts", "1 hour"), "event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.round(F.col("value") * 100).cast("long")).alias("total_cents"),
+    def windowed(stream: DataFrame) -> DataFrame:
+        return (
+            stream.withWatermark("ts", "30 minutes")
+            .groupBy(F.window("ts", "1 hour"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                    "total_cents"
+                ),
+            )
         )
+
+    out = _replay_stream_to_table(
+        spark,
+        slices,
+        windowed,
+        output_mode="complete",  # batch order irrelevant: no sleeps needed
+        name_prefix="events_stream_windows",
     )
-    _STREAM_GATE_SEQ[0] += 1
-    qname = f"events_stream_windows_out_{_STREAM_GATE_SEQ[0]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("complete")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(600)
-    out = spark.table(qname).select(
+    return out.select(
         F.col("window").getField("start").cast("string").alias("window_start"),
         "event_type",
         "n",
         "total_cents",
     ).orderBy("window_start", "event_type")
-    out = spark.createDataFrame(out.collect(), out.schema)  # detach from sink
-    shutil.rmtree(base, ignore_errors=True)
-    return out
 
 
 QUERIES["events_stream_windows"] = q_events_stream_windows
@@ -1589,6 +1574,66 @@ ORACLES["approx_distinct_bound"] = ORACLE_APPROX_DISTINCT_BOUND
 _STREAM_GATE_SEQ = [0]
 
 
+def _replay_stream_to_table(
+    spark: SparkSession,
+    slices,
+    stream_builder,
+    output_mode: str,
+    name_prefix: str,
+    sleep_between: float = 0.0,
+) -> DataFrame:
+    """Shared streaming-gate harness: write each slice DataFrame as one
+    parquet directory under a temp source (ascending mtimes when
+    ``sleep_between`` > 0 — the file stream source processes oldest
+    first), stream the source back ONE FILE PER TRIGGER (availableNow,
+    so state really crosses micro-batches), run ``stream_builder(stream)``
+    into a memory sink, and return the sink table DETACHED from the
+    sink/source (collect + recreate) so the temp dirs can be removed.
+
+    Raises on awaitTermination timeout instead of comparing partial
+    state (and instead of deleting sources under a live query)."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    base = tempfile.mkdtemp(prefix=f"{name_prefix}_")
+    src = os.path.join(base, "src")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(src)
+    for k, sl in enumerate(slices):
+        sl.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(src, f"slice={k}")
+        )
+        if sleep_between:
+            _time.sleep(sleep_between)
+
+    stream = (
+        spark.readStream.schema(slices[0].schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "slice=*"))
+    )
+    _STREAM_GATE_SEQ[0] += 1
+    qname = f"{name_prefix}_out_{_STREAM_GATE_SEQ[0]}"
+    q = (
+        stream_builder(stream)
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        shutil.rmtree(base, ignore_errors=True)
+        raise RuntimeError(f"streaming gate {qname} did not finish in 600s")
+    out = spark.table(qname)
+    out = spark.createDataFrame(out.collect(), out.schema)  # detach from sink
+    shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
 def q_dedup_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming cross-batch dedup (applyInPandasWithState) replayed over
     a 3-micro-batch file source: documents (with seeded dupes) are
@@ -1600,19 +1645,9 @@ def q_dedup_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     custom stateful streaming operator end-to-end (state surviving
     across micro-batches: later batches hold the seeded +1000000 copies,
     which must all be dropped)."""
-    import os
-    import shutil
-    import tempfile
-    import time as _time
-
     from .streaming.stateful import dedup_stream
 
     all_docs = _documents_with_dupes(spark, sf_dir).select("doc_id", "text")
-
-    base = tempfile.mkdtemp(prefix="dedup_stream_gate_")
-    src = os.path.join(base, "src")
-    ckpt = os.path.join(base, "ckpt")
-    os.makedirs(src)
     n = all_docs.agg(F.max("doc_id")).first()[0]
     cuts = [n // 3, 2 * n // 3]
     slices = [
@@ -1620,37 +1655,17 @@ def q_dedup_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         all_docs.filter((F.col("doc_id") > cuts[0]) & (F.col("doc_id") <= cuts[1])),
         all_docs.filter(F.col("doc_id") > cuts[1]),
     ]
-    for k, sl in enumerate(slices):
-        sl.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(src, f"slice={k}")
-        )
-        _time.sleep(1.1)  # distinct mtimes => deterministic batch order
-
-    stream = (
-        spark.readStream.schema(all_docs.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(os.path.join(src, "slice=*"))
+    out = _replay_stream_to_table(
+        spark,
+        slices,
+        lambda stream: dedup_stream(stream, "text", "doc_id"),
+        output_mode="append",
+        name_prefix="dedup_stream_replay",
+        sleep_between=1.1,  # distinct mtimes => deterministic batch order
     )
-    winners = dedup_stream(stream, "text", "doc_id")
-    _STREAM_GATE_SEQ[0] += 1
-    qname = f"dedup_stream_replay_out_{_STREAM_GATE_SEQ[0]}"
-    q = (
-        winners.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(600)
-    out = (
-        spark.table(qname)
-        .select(F.col("doc_id").cast("long").alias("doc_id"))
-        .orderBy("doc_id")
-    )
-    out = spark.createDataFrame(out.collect(), out.schema)  # detach from sink
-    shutil.rmtree(base, ignore_errors=True)
-    return out
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    ).orderBy("doc_id")
 
 
 ORACLE_DEDUP_STREAM_REPLAY = f"""

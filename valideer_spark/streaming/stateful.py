@@ -38,14 +38,18 @@ def dedup_stream(
 ) -> DataFrame:
     """First-seen filter over a streaming documents frame.
 
-    Output schema: (content_key long, doc_id string) — the id of the
-    FIRST document observed per normalized-content key (ties within one
-    micro-batch resolve to the smallest id, deterministically).
+    Output schema: (content_key long, doc_id <input id type>) — the id
+    of the FIRST document observed per normalized-content key (ties
+    within one micro-batch resolve to the smallest id in the id column's
+    OWN type ordering, deterministically — a numeric id column is
+    tie-broken numerically, not lexicographically; the column keeps its
+    input type end-to-end).
     """
+    id_type = stream.schema[id_col].dataType
     out_schema = T.StructType(
         [
             T.StructField("content_key", T.LongType()),
-            T.StructField("doc_id", T.StringType()),
+            T.StructField("doc_id", id_type),
         ]
     )
 
@@ -62,7 +66,7 @@ def dedup_stream(
         best = None
         for pdf in batches:
             if len(pdf):
-                cand = pdf["doc_id"].min()
+                cand = pdf["doc_id"].min()  # min in the column's own dtype
                 best = cand if best is None or cand < best else best
         if best is None:
             return
@@ -71,7 +75,7 @@ def dedup_stream(
 
     keyed = stream.select(
         F.xxhash64(normalized_text(F.col(text_col))).alias("content_key"),
-        F.col(id_col).cast("string").alias("doc_id"),
+        F.col(id_col).alias("doc_id"),
     )
     return keyed.groupBy("content_key").applyInPandasWithState(
         first_seen,
