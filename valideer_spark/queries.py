@@ -122,14 +122,9 @@ FROM docs
 """
 
 
-def q_flagship_partition_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-partition verdict rollup, FULLY oracled: the gate engine uses
-    an externally-computable bucket function (numeric doc_id suffix mod
-    64) via the engine's ``partition_expr`` hook, so DuckDB can rebuild
-    every per-partition row. Production default stays xxhash64 (uniform
-    for arbitrary ids); the rollup/checkpoint machinery is agnostic to
-    which deterministic bucketing is used — that is exactly what this
-    gate proves."""
+def _flagship_mod64_engine() -> ValidationEngine:
+    """Gate engine with an externally-computable bucketing (numeric
+    doc_id suffix mod 64) so DuckDB can rebuild per-partition rows."""
     key = ("flagship-mod64",)
     if key not in _ENGINES:
         _ENGINES[key] = ValidationEngine(
@@ -139,7 +134,18 @@ def q_flagship_partition_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame
                 F.substring(c, 5, 12).cast("long"), F.lit(64)
             ).cast("int"),
         )
-    report = _ENGINES[key].check(_docs(spark))
+    return _ENGINES[key]
+
+
+def q_flagship_partition_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition verdict rollup, FULLY oracled: the gate engine uses
+    an externally-computable bucket function (numeric doc_id suffix mod
+    64) via the engine's ``partition_expr`` hook, so DuckDB can rebuild
+    every per-partition row. Production default stays xxhash64 (uniform
+    for arbitrary ids); the rollup/checkpoint machinery is agnostic to
+    which deterministic bucketing is used — that is exactly what this
+    gate proves."""
+    report = _flagship_mod64_engine().check(_docs(spark))
     return report.verdicts().select(
         F.col("_part_id").alias("part_id"),
         "n_docs",
@@ -147,6 +153,49 @@ def q_flagship_partition_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("pass"),
     ).orderBy("part_id")
 
+
+def q_flagship_partition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(partition, constraint) violation metrics — the checkpoint
+    design's hotspot-debugging rows — FULLY oracled via the
+    externally-computable mod-64 bucketing: DuckDB recomputes every
+    (bucket, constraint, count) triple from flagship semantics."""
+    report = _flagship_mod64_engine().check(_docs(spark))
+    return report.partition_metrics().orderBy("part_id", "constraint")
+
+
+ORACLE_FLAGSHIP_PARTITION_METRICS = _docs_cte() + f"""
+, spans AS (
+  SELECT doc_id,
+    CAST(TRY_CAST(substr(doc_id, 5, 12) AS BIGINT) % 64 AS INTEGER) AS part_id,
+    unnest(spans) AS s
+  FROM docs
+), per_doc AS (
+  SELECT doc_id,
+    CAST(TRY_CAST(substr(doc_id, 5, 12) AS BIGINT) % 64 AS INTEGER) AS part_id,
+    len(spans) AS n_spans
+  FROM docs
+), per_constraint AS (
+  SELECT part_id, 'enum' AS "constraint", count(*) AS n
+  FROM spans WHERE s.kind NOT IN ({_KINDS_SQL}) GROUP BY part_id
+  UNION ALL
+  SELECT part_id, 'pattern', count(*) FROM spans
+    WHERE s.media_ref IS NOT NULL AND NOT regexp_full_match(s.media_ref, '{_MEDIA_FULL}')
+    GROUP BY part_id
+  UNION ALL
+  SELECT part_id, 'range.min', count(*) FROM spans WHERE s."offset" < 0 GROUP BY part_id
+  UNION ALL
+  SELECT part_id, 'condition:span_text_consistency', count(*) FROM spans
+    WHERE NOT ((s.text IS NOT NULL) = (s.kind = 'text')) GROUP BY part_id
+  UNION ALL
+  SELECT part_id, 'condition:span_media_consistency', count(*) FROM spans
+    WHERE NOT ((s.media_ref IS NOT NULL) = (s.kind <> 'text')) GROUP BY part_id
+  UNION ALL
+  SELECT part_id, 'sequence.min_length', count(*) FROM per_doc
+    WHERE n_spans < 1 GROUP BY part_id
+)
+SELECT part_id, "constraint", CAST(n AS BIGINT) AS n
+FROM per_constraint WHERE n > 0 ORDER BY part_id, "constraint"
+"""
 
 ORACLE_FLAGSHIP_PARTITION_VERDICTS = _docs_cte() + f"""
 , verdicts AS (
@@ -301,6 +350,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "flagship_violation_metrics": q_flagship_violation_metrics,
     "flagship_doc_verdicts": q_flagship_doc_verdicts,
     "flagship_partition_verdicts": q_flagship_partition_verdicts,
+    "flagship_partition_metrics": q_flagship_partition_metrics,
     "docs_uniqueness": q_docs_uniqueness,
     "docs_referential_media": q_docs_referential_media,
     "lineitem_profile": q_lineitem_profile,
@@ -314,6 +364,7 @@ ORACLES: Dict[str, str] = {
     "flagship_violation_metrics": ORACLE_FLAGSHIP_VIOLATION_METRICS,
     "flagship_doc_verdicts": ORACLE_FLAGSHIP_DOC_VERDICTS,
     "flagship_partition_verdicts": ORACLE_FLAGSHIP_PARTITION_VERDICTS,
+    "flagship_partition_metrics": ORACLE_FLAGSHIP_PARTITION_METRICS,
     "docs_uniqueness": ORACLE_DOCS_UNIQUENESS,
     "docs_referential_media": ORACLE_DOCS_REFERENTIAL_MEDIA,
     "lineitem_profile": ORACLE_LINEITEM_PROFILE,
