@@ -811,6 +811,150 @@ def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULLY-oracled multimodal decode plumbing: the mapInPandas decode
+    stub derives (content_hash, width, height, duration_ms) from the
+    payload's sha256, which DuckDB recomputes byte-for-byte (sha256 +
+    hex-digit arithmetic). This pins the Arrow-batched UDF path
+    end-to-end per media object — schema, batching, binary round-trip —
+    with zero tolerance, not just aggregate byte counts
+    (media_metadata's gate)."""
+    from .operators.multimodal import extract_media_metadata, synth_media_payloads
+
+    docs = _docs(spark)
+    meta = extract_media_metadata(synth_media_payloads(docs))
+    return meta.select(
+        "media_ref",
+        "media_kind",
+        "n_bytes",
+        "content_hash",
+        "width",
+        "height",
+        F.col("duration_ms").cast("long").alias("duration_ms"),
+    ).orderBy("media_ref", "media_kind")
+
+
+def _hexbyte(sha: str, i: int) -> str:
+    """DuckDB expression for byte i (0-based) of a lowercase hex digest."""
+    h1 = f"(strpos('0123456789abcdef', substr({sha}, {2*i+1}, 1)) - 1)"
+    h2 = f"(strpos('0123456789abcdef', substr({sha}, {2*i+2}, 1)) - 1)"
+    return f"(16 * {h1} + {h2})"
+
+
+ORACLE_MEDIA_DECODE = _docs_cte() + f"""
+, media AS (
+  SELECT DISTINCT s.media_ref AS media_ref, s.kind AS media_kind
+  FROM (SELECT unnest(spans) AS s FROM docs)
+  WHERE s.media_ref IS NOT NULL
+), p AS (
+  SELECT media_ref, media_kind,
+         'payload:' || media_ref || ':' || repeat(media_kind, 8) AS payload
+  FROM media
+), h AS (
+  SELECT media_ref, media_kind, payload, sha256(payload) AS sha FROM p
+)
+SELECT media_ref, media_kind,
+  CAST(length(payload) AS BIGINT) AS n_bytes,
+  substr(sha, 1, 16) AS content_hash,
+  CAST(CASE WHEN media_kind IN ('image', 'video')
+       THEN 64 + {_hexbyte('sha', 0)} % 192 ELSE 0 END AS INTEGER) AS width,
+  CAST(CASE WHEN media_kind IN ('image', 'video')
+       THEN 64 + {_hexbyte('sha', 1)} % 192 ELSE 0 END AS INTEGER) AS height,
+  CAST(CASE WHEN media_kind IN ('audio', 'video')
+       THEN 256 * {_hexbyte('sha', 2)} + {_hexbyte('sha', 3)}
+       ELSE 0 END AS BIGINT) AS duration_ms
+FROM h ORDER BY media_ref, media_kind
+"""
+
+
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing (1:1 mapInPandas, binary in/out) fully oracled at
+    a small 8x8 target: the stub's output buffer is the payload's sha256
+    digest tiled to w*h*3 bytes, which DuckDB rebuilds by hex-domain
+    string tiling (byte tiling == hex tiling for even-length hex); the
+    non-image passthrough branch is verified byte-for-byte as well."""
+    from .operators.multimodal import resize_images, synth_media_payloads
+
+    docs = _docs(spark)
+    resized = resize_images(synth_media_payloads(docs), 8, 8)
+    return resized.select(
+        "media_ref",
+        "width",
+        "height",
+        F.length("payload").cast("long").alias("n_bytes"),
+        F.lower(F.hex("payload")).alias("payload_hex"),
+    ).orderBy("media_ref", "payload_hex")
+
+
+ORACLE_MEDIA_RESIZE = _docs_cte() + """
+, media AS (
+  SELECT DISTINCT s.media_ref AS media_ref, s.kind AS media_kind
+  FROM (SELECT unnest(spans) AS s FROM docs)
+  WHERE s.media_ref IS NOT NULL
+), p AS (
+  SELECT media_ref, media_kind,
+         'payload:' || media_ref || ':' || repeat(media_kind, 8) AS payload
+  FROM media
+), h AS (
+  SELECT media_ref, media_kind, payload, sha256(payload) AS sha FROM p
+)
+SELECT media_ref,
+  CASE WHEN media_kind = 'image' THEN 8 ELSE 0 END AS width,
+  CASE WHEN media_kind = 'image' THEN 8 ELSE 0 END AS height,
+  CAST(CASE WHEN media_kind = 'image' THEN 192
+       ELSE length(payload) END AS BIGINT) AS n_bytes,
+  CASE WHEN media_kind = 'image' THEN substr(repeat(sha, 7), 1, 384)
+       ELSE lower(hex(CAST(payload AS BLOB))) END AS payload_hex
+FROM h ORDER BY media_ref, payload_hex
+"""
+
+
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing (1:N mapInPandas row expansion) oracled
+    on its scalar outputs: per video, n_frames = min(8, max(1,
+    duration_ms // 1000)) with duration derived from the payload sha256
+    — DuckDB regenerates every (media_ref, frame_idx, ts_ms) row.
+    (Frame BYTES are sha256-over-bytes, which DuckDB cannot compute —
+    sha256(VARCHAR) only — so they stay pytest-covered.)"""
+    from .operators.multimodal import sample_frames, synth_media_payloads
+
+    docs = _docs(spark)
+    frames = sample_frames(synth_media_payloads(docs), every_ms=1000, max_frames=8)
+    return frames.select(
+        "media_ref",
+        "frame_idx",
+        F.col("ts_ms").cast("long").alias("ts_ms"),
+    ).orderBy("media_ref", "frame_idx")
+
+
+ORACLE_MEDIA_FRAMES = _docs_cte() + f"""
+, media AS (
+  SELECT DISTINCT s.media_ref AS media_ref, s.kind AS media_kind
+  FROM (SELECT unnest(spans) AS s FROM docs)
+  WHERE s.media_ref IS NOT NULL
+), p AS (
+  SELECT media_ref, media_kind,
+         'payload:' || media_ref || ':' || repeat(media_kind, 8) AS payload
+  FROM media WHERE media_kind = 'video'
+), h AS (
+  SELECT media_ref, sha256(payload) AS sha FROM p
+), d AS (
+  SELECT media_ref,
+         256 * {_hexbyte('sha', 2)} + {_hexbyte('sha', 3)} AS duration_ms
+  FROM h
+), n AS (
+  SELECT media_ref,
+         least(8, greatest(1, duration_ms // 1000)) AS n_frames
+  FROM d
+)
+SELECT media_ref,
+       CAST(f.i AS INTEGER) AS frame_idx,
+       CAST(f.i * 1000 AS BIGINT) AS ts_ms
+FROM n, LATERAL (SELECT unnest(range(0, CAST(n_frames AS BIGINT))) AS i) f
+ORDER BY media_ref, frame_idx
+"""
+
+
 ORACLE_MEDIA_METADATA = _docs_cte() + """
 , media AS (
   SELECT DISTINCT s.media_ref AS media_ref, s.kind AS media_kind
@@ -932,6 +1076,9 @@ QUERIES.update(
         "simhash_documents": q_simhash_documents,
         "ann_lsh_embeddings": q_ann_lsh_embeddings,
         "media_metadata": q_media_metadata,
+        "media_decode": q_media_decode,
+        "media_resize": q_media_resize,
+        "media_frames": q_media_frames,
         "drift_documents_nchars": q_drift_documents_nchars,
         "drift_documents_exact": q_drift_documents_exact,
     }
@@ -950,6 +1097,9 @@ ORACLES.update(
         "cosine_topk_embeddings": ORACLE_COSINE_TOPK_EMBEDDINGS,
         "ann_lsh_embeddings": ORACLE_ANN_LSH_EMBEDDINGS,
         "media_metadata": ORACLE_MEDIA_METADATA,
+        "media_decode": ORACLE_MEDIA_DECODE,
+        "media_resize": ORACLE_MEDIA_RESIZE,
+        "media_frames": ORACLE_MEDIA_FRAMES,
         "drift_documents_exact": ORACLE_DRIFT_DOCUMENTS_EXACT,
         "drift_documents_nchars": ORACLE_DRIFT_DOCUMENTS_NCHARS,
         "minhash_lsh_documents": ORACLE_MINHASH_LSH_DOCUMENTS,
