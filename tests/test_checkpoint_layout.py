@@ -166,3 +166,32 @@ def test_resume_with_custom_partition_expr_does_not_source_prune(spark, tmp_path
     rows = second.collect()
     assert {r["part_id"] for r in rows} == {4, 5, 6, 7}
     assert sum(r["n_docs"] for r in rows) == expected
+
+
+def test_non_total_partition_expr_converges_via_sentinel(spark, tmp_path):
+    """A custom partition_expr that yields NULL for some ids (non-total)
+    must still converge: NULL bucket ids coalesce to the sentinel bucket
+    -1, so those rows checkpoint like any other bucket and a re-run over
+    the same input validates nothing (regression for the
+    revalidate-forever hazard)."""
+    docs = synth_docs(spark, 300)
+
+    # partial expr: even numeric suffixes bucket normally, odd -> NULL
+    def partial(c):
+        n = F.substring(c, 5, 12).cast("long")
+        return F.when(n % 2 == 0, F.pmod(n, F.lit(4)).cast("int"))
+
+    eng = ValidationEngine(
+        doc_schema(),
+        buckets=4,
+        partition_expr=partial,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    first = eng.run_with_checkpoint(docs, run_id="r1")
+    parts = {r["part_id"] for r in first.collect()}
+    assert -1 in parts  # the NULL rows landed in the sentinel bucket
+    assert sum(r["n_docs"] for r in first.collect()) == 300
+
+    # identical re-run: everything (sentinel included) is checkpointed
+    second = eng.run_with_checkpoint(docs, run_id="r2")
+    assert second.count() == 0

@@ -125,3 +125,21 @@ def test_write_quarantine_routes_and_annotates(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="unsupported fmt"):
         write_quarantine(report, vp, qp, fmt="csv")
+
+
+def test_write_quarantine_rejects_reserved_column_collision(spark, tmp_path):
+    """A payload column named violation_*/_part_id must be rejected up
+    front — silently emitting duplicate output columns would corrupt the
+    quarantine table."""
+    import pytest as _pytest
+
+    from valideer_spark import core as V
+    from valideer_spark.engine import ValidationEngine, write_quarantine
+
+    df = spark.createDataFrame(
+        [("a", "x"), ("b", None)], ["doc_id", "violation_message"]
+    )
+    schema = V.parse({"+doc_id": "string", "+violation_message": "string"})
+    report = ValidationEngine(schema).check(df)
+    with _pytest.raises(ValueError, match="violation_message"):
+        write_quarantine(report, str(tmp_path / "v"), str(tmp_path / "q"))

@@ -302,3 +302,55 @@ def test_minhash_arrow_matches_expressions(spark):
     b = {r["id"]: list(r["signature"]) for r in minhash_signatures_arrow(docs).collect()}
     assert a == b
     assert len(a) > 0
+
+
+def test_ivf_train_sample_is_bounded(spark):
+    """The IVF quantizer must fit on a bounded sample: _ivf_train_frame
+    caps rows via limit/sample, and ivf_index with a small cap still
+    assigns EVERY input row and yields n_lists centers (transform, not
+    fit, touches the full frame)."""
+    import numpy as np
+
+    from valideer_spark.operators.similarity import (
+        _ivf_train_frame,
+        ivf_index,
+    )
+
+    rng = np.random.RandomState(7)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(0, 1, 8)]) for i in range(500)],
+        ["vec_id", "embedding"],
+    )
+    capped = _ivf_train_frame(df, sample_fraction=None, max_train_rows=50, seed=1)
+    assert capped.count() == 50
+    sampled = _ivf_train_frame(df, sample_fraction=0.1, max_train_rows=40, seed=1)
+    assert sampled.count() <= 40
+
+    assigned, centers = ivf_index(df, n_lists=4, seed=42, max_train_rows=64)
+    assert len(centers) == 4
+    assert assigned.count() == 500  # every row assigned despite capped fit
+    assert assigned.select("list_id").distinct().count() <= 4
+
+
+def test_dim_param_skips_probe_job(spark, monkeypatch):
+    """Passing dim= to the LSH self-join operators must not launch the
+    one-row _infer_dim probe job; omitting it must fall back to the probe."""
+    import valideer_spark.operators.similarity as sim
+
+    df = spark.createDataFrame(
+        [(i, [float(i), float(i % 3), 1.0, 0.5]) for i in range(30)]
+        + [(1000, [0.0, 1.0, 1.0, 0.5])],
+        ["vec_id", "embedding"],
+    )
+
+    def _boom(*a, **k):
+        raise AssertionError("_infer_dim probe ran despite explicit dim=")
+
+    monkeypatch.setattr(sim, "_infer_dim", _boom)
+    # With dim given: plans build and execute with zero probe jobs.
+    sim.cosine_self_join_topk(df, k=2, n_planes=4, n_bands=2, dim=4).collect()
+    sim.cosine_near_dup_pairs(df, threshold=0.999, dim=4).collect()
+
+    monkeypatch.undo()
+    # Fallback still works without dim.
+    assert sim.cosine_near_dup_pairs(df, threshold=1.5).count() == 0

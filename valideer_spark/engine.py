@@ -231,11 +231,19 @@ class ValidationEngine:
 
     def check(self, df: DataFrame, adapt: bool = False) -> CheckReport:
         plan = self.plan_for(df)
-        part = (
-            self.partition_expr(F.col(self.id_col))
-            if self.partition_expr is not None
-            else deterministic_partition_id(F.col(self.id_col), self.buckets)
-        )
+        if self.partition_expr is not None:
+            # A custom partition_expr SHOULD be total over the id domain,
+            # but if it is not (e.g. a numeric-suffix mod over a
+            # non-conforming id yields NULL under non-ANSI casts), the
+            # NULL bucket ids would never match the checkpoint anti-join
+            # and those rows would be revalidated — and their verdict rows
+            # re-appended — on every resume. Coalesce NULLs to a sentinel
+            # bucket (-1) so the checkpoint converges for them too.
+            part = F.coalesce(
+                self.partition_expr(F.col(self.id_col)), F.lit(-1)
+            )
+        else:
+            part = deterministic_partition_id(F.col(self.id_col), self.buckets)
         annotated = plan.check(df, adapt=adapt, violations=True).withColumn(
             "_part_id", part
         )
@@ -380,7 +388,9 @@ def write_quarantine(
     Quarantine schema: the document's own payload columns plus
     ``_part_id`` and the exploded ``violation_index`` /
     ``violation_path`` / ``violation_constraint`` / ``violation_message``
-    (prefixed so they can never collide with payload column names) —
+    (the prefix makes collisions unlikely; a payload column that IS named
+    ``violation_*`` or ``_part_id`` is rejected up front with a clear
+    error rather than silently producing duplicate output columns) —
     one row per (document, violation), built by exploding ``_violations``
     inline with the payload (no self-join back onto the report)."""
     if fmt not in ("parquet", "iceberg"):
@@ -389,6 +399,19 @@ def write_quarantine(
         )
     engine_cols = ("_valid", "_violations", "_n_violations")
     payload = [c for c in report.annotated.columns if c not in engine_cols and c != "_part_id"]
+    reserved = {
+        "violation_index",
+        "violation_path",
+        "violation_constraint",
+        "violation_message",
+        "_part_id",
+    }
+    clashes = sorted(reserved.intersection(payload))
+    if clashes:
+        raise ValueError(
+            "payload column(s) %s collide with reserved quarantine output "
+            "columns; rename them before calling write_quarantine" % (clashes,)
+        )
 
     valid = report.annotated.filter(F.col("_valid")).select(*payload, "_part_id")
     writer = valid.write.mode("overwrite")

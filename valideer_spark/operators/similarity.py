@@ -165,6 +165,15 @@ def ann_lsh_topk(
     )
 
 
+def _infer_dim(src: DataFrame, vec_alias: str = "vec") -> int:
+    """Probe the embedding dimensionality with a one-row job.
+
+    Fallback only — ArrayType carries no length, so the dim cannot be read
+    from the schema at plan time. Callers that know ``dim`` (they almost
+    always do) should pass it and skip this extra Spark job."""
+    return len(src.select(vec_alias).first()[vec_alias])
+
+
 def cosine_self_join_topk(
     df: DataFrame,
     k: int = 5,
@@ -174,6 +183,7 @@ def cosine_self_join_topk(
     n_bands: int = 4,
     max_bucket: int = 10000,
     seed: int = 42,
+    dim: Optional[int] = None,
 ) -> DataFrame:
     """Per-vector approximate k nearest neighbors via banded LSH.
 
@@ -184,11 +194,14 @@ def cosine_self_join_topk(
     within-bucket join quadratic; with the cap, join work is bounded by
     n_buckets * max_bucket^2 regardless of skew. Candidates are
     de-duplicated across bands, then scored exactly.
+
+    Pass ``dim`` (the embedding length) to avoid a one-row probe job.
     """
     from pyspark.sql.window import Window
 
     src = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    dim = len(src.select("vec").first()["vec"])
+    if dim is None:
+        dim = _infer_dim(src)
     planes = _hyperplanes(dim, n_planes, seed)
     keyed = src.select(
         "id",
@@ -244,6 +257,7 @@ def cosine_near_dup_pairs(
     n_bands: int = 4,
     max_bucket: int = 10000,
     seed: int = 42,
+    dim: Optional[int] = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate PAIRS: banded-LSH candidates
     (bounded buckets, identical vectors are guaranteed candidates — equal
@@ -251,9 +265,11 @@ def cosine_near_dup_pairs(
 
     Output (a_id, b_id) with a_id < b_id. The verification pass is linear
     in candidate count; recall for non-identical pairs follows the LSH
-    amplification curve (tune bands/bits per corpus)."""
+    amplification curve (tune bands/bits per corpus). Pass ``dim`` to
+    avoid a one-row probe job."""
     src = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    dim = len(src.select("vec").first()["vec"])
+    if dim is None:
+        dim = _infer_dim(src)
     planes = _hyperplanes(dim, n_planes, seed)
     keyed = src.select(
         "id",
@@ -291,21 +307,50 @@ def cosine_near_dup_pairs(
 # IVF (inverted-file) ANN: k-means coarse quantizer + probed lists
 # ---------------------------------------------------------------------------
 
+def _ivf_train_frame(
+    assembled: DataFrame,
+    sample_fraction: Optional[float],
+    max_train_rows: Optional[int],
+    seed: int,
+) -> DataFrame:
+    """Bounded training input for the IVF coarse quantizer.
+
+    ``sample_fraction`` takes a uniform Bernoulli sample (distributed, no
+    extra pass); ``max_train_rows`` then hard-caps the row count via
+    ``limit`` (a global limit short-circuits the scan — Spark stops
+    launching tasks once enough rows arrive, it does NOT read the table).
+    Both may combine: sample first for spread, cap second for a bound."""
+    train = assembled
+    if sample_fraction is not None:
+        train = train.sample(withReplacement=False, fraction=sample_fraction, seed=seed)
+    if max_train_rows is not None:
+        train = train.limit(int(max_train_rows))
+    return train
+
+
 def ivf_index(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     n_lists: int = 16,
     seed: int = 42,
+    sample_fraction: Optional[float] = None,
+    max_train_rows: Optional[int] = 100_000,
 ):
     """Build an IVF index: k-means coarse quantizer over the vectors, each
     vector assigned to its nearest centroid's inverted list.
 
     Returns (assigned DataFrame with a ``list_id`` column, centers list).
-    At 10^12 vectors: train on a sample, assign in one distributed pass,
-    and write the table partitioned by ``list_id`` so a query's probes
-    become storage partition pruning (same layout trick as the checkpoint
-    buckets). Centers are O(n_lists * dim) — driver-side by design.
+    The quantizer trains on a BOUNDED sample (``sample_fraction`` and/or
+    ``max_train_rows``, default cap 100k rows) — k-means centroids
+    converge on a sample; only the cheap single-pass ``transform``
+    (nearest-centroid assignment) touches the full frame. At 10^12
+    vectors: set ``sample_fraction`` so the expected sample is ~1-10M,
+    assign in one distributed pass, and write the table partitioned by
+    ``list_id`` so a query's probes become storage partition pruning
+    (same layout trick as the checkpoint buckets). Centers are
+    O(n_lists * dim) — driver-side by design. ``max_train_rows=None``
+    with ``sample_fraction=None`` restores full-dataset training.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -315,7 +360,8 @@ def ivf_index(
         F.col(vec_col).alias("vec"),
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
     )
-    model = KMeans(k=n_lists, seed=seed, featuresCol="features").fit(assembled)
+    train = _ivf_train_frame(assembled, sample_fraction, max_train_rows, seed)
+    model = KMeans(k=n_lists, seed=seed, featuresCol="features").fit(train)
     assigned = (
         model.transform(assembled)
         .withColumnRenamed("prediction", "list_id")

@@ -1420,7 +1420,9 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("vec_id") + 1000000
     )
     df = embs.unionAll(dupes)
-    return cosine_near_dup_pairs(df, threshold=0.999).orderBy("a_id", "b_id")
+    # dim=64 is the testdata embedding width — passing it skips the
+    # one-row dim-probe job (similarity._infer_dim fallback).
+    return cosine_near_dup_pairs(df, threshold=0.999, dim=64).orderBy("a_id", "b_id")
 
 
 ORACLE_EMBEDDING_NEAR_DUPS = """
@@ -1831,6 +1833,7 @@ def _replay_stream_to_table(
         raise RuntimeError(f"streaming gate {qname} did not finish in 600s")
     out = spark.table(qname)
     out = spark.createDataFrame(out.collect(), out.schema)  # detach from sink
+    spark.catalog.dropTempView(qname)  # memory sink registers a temp view; don't leak it
     shutil.rmtree(base, ignore_errors=True)
     return out
 
