@@ -69,10 +69,37 @@ def test_pattern_start_anchor(spark):
              ["123", "12345", "123a", "a123", None])
 
 
-def test_pattern_java_incompatible_falls_back(spark):
-    # (?P<name>...) is Python-only → kernel fallback path
-    run_case(spark, V.Pattern(r"(?P<d>\d+)$"), T.StringType(),
-             ["123", "x12", None], check_messages=True)
+def test_pattern_named_groups_lower_natively(spark):
+    """(?P<name>…)/(?P=name) rewrite mechanically to Java (?<name>…)/
+    \\k<name>, so named-group patterns stay on the rlike native path
+    (reference semantics validators.py:432-463); names Java rejects
+    (underscores) still fall back to the kernel."""
+    from valideer_spark.plans.lowering import translate_python_regex
+
+    assert translate_python_regex(r"(?P<d>\d+)$") == r"^(?:(?<d>\d+)$)"
+    assert (
+        translate_python_regex(r"(?P<d>\d+)-(?P=d)$")
+        == r"^(?:(?<d>\d+)-\k<d>$)"
+    )
+    # escaped paren before the group is not a group opener
+    assert translate_python_regex(r"\(?P<d") == r"^(?:\(?P<d)"
+    # Java group names exclude underscores / leading digits → fallback
+    assert translate_python_regex(r"(?P<my_g>\d)") is None
+    assert translate_python_regex(r"(?P<a>\d)(?P=my_g)") is None
+
+    # value-level parity incl. a backref, against the kernel
+    run_case(spark, V.Pattern(r"(?P<d>\d+)-(?P=d)$"), T.StringType(),
+             ["12-12", "12-13", "x12-12", None], check_messages=True)
+
+    # and the rewritten pattern really runs JVM-side: no Python eval node
+    node = lower(V.parse(V.Pattern(r"(?P<d>\d+)$")), T.StringType())
+    df = spark.createDataFrame([("123",)], "x string")
+    plan = (
+        df.select(node.predicate(F.col("x")).alias("ok"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "EvalPython" not in plan
+    assert "rlike" in plan.lower()
 
 
 def test_range_with_inner_schema(spark):

@@ -308,6 +308,35 @@ def minhash_signatures_arrow(
     return staged.mapInPandas(kernel, schema=out_schema)
 
 
+# Documented (num_hashes, bands) presets for banded MinHash LSH. The
+# per-pair catch probability at shingle-Jaccard s is
+# 1 - (1 - s^r)^b with r = num_hashes // bands rows per band; signature
+# cost is LINEAR in num_hashes (BENCH.md: the 64-hash signature step is
+# ~all of dedup's cost at 1.1M docs), so pick the cheapest preset whose
+# recall clears the target threshold:
+#
+#   preset           k    b   r   P(catch) s=1.0  s=0.6   s=0.5   s=0.3
+#   exact-dup        32   16  2   1.0            .998    .986    .78
+#   near-dup-0.5     64   32  2   1.0            1-3e-7  1-1e-4  .95
+#   strict-0.5       128  64  2   1.0            ~1      1-1e-8  .998
+#   cheap-0.8        32   8   4   1.0            .71     .41     .06
+#
+# "exact-dup" (seeded-duplicate removal, s=1) needs only structural
+# recall — identical sets give identical signatures at ANY k, so k=32
+# halves signature cost vs the k=64 default with zero recall loss; the
+# gate corpus proves it (jaccard_pairs_documents runs both presets).
+# "strict-0.5" is for corpora where missing a borderline s=0.5 pair
+# matters; r=2 keeps per-band selectivity high enough that candidate
+# volume stays near-linear (r=1 would flood verification with s~0.1
+# pairs).
+MINHASH_PRESETS = {
+    "exact-dup": {"num_hashes": 32, "bands": 16},
+    "near-dup-0.5": {"num_hashes": 64, "bands": 32},
+    "strict-0.5": {"num_hashes": 128, "bands": 64},
+    "cheap-0.8": {"num_hashes": 32, "bands": 8},
+}
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -318,7 +347,9 @@ def minhash_lsh_candidates(
     seed: int = 42,
 ) -> DataFrame:
     """Near-duplicate candidate pairs (a_id, b_id, n_bands_hit) via banded
-    MinHash LSH: docs agreeing on any full band land in one bucket."""
+    MinHash LSH: docs agreeing on any full band land in one bucket.
+    See :data:`MINHASH_PRESETS` for measured (num_hashes, bands) presets
+    and their recall curves."""
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, seed)

@@ -302,25 +302,77 @@ def _type_checks(v: Validator, dtype: T.DataType, statically_ok: bool) -> List[_
 # ---------------------------------------------------------------------------
 
 # Python-only constructs Java regex rejects at compile time (rlike would
-# throw PatternSyntaxException mid-job): named groups/backrefs (?P<…/(?P=…,
-# comments (?#…, conditional groups (?(1)…, and inline flag groups carrying
-# the Python-only letters a/L/u — e.g. (?a), (?ai:…), (?i-u:…)
+# throw PatternSyntaxException mid-job): comments (?#…, conditional
+# groups (?(1)…, and inline flag groups carrying the Python-only letters
+# a/L/u — e.g. (?a), (?ai:…), (?i-u:…). Named groups/backrefs are NOT
+# listed: they have exact Java spellings, rewritten below.
 _JAVA_INCOMPATIBLE = re.compile(
-    r"\(\?P[<=]"
-    r"|\(\?#"
+    r"\(\?#"
     r"|\(\?\("
     r"|\(\?[aiLmsux]*[aLu][aiLmsux]*[:)]"
     r"|\(\?[aiLmsux]*-[aiLmsux]*[aLu][aiLmsux]*[:)]"
 )
 
+# Java named-group names must be [a-zA-Z][a-zA-Z0-9]* — no underscores.
+# A Python name outside that subset forces the kernel fallback.
+_JAVA_GROUP_NAME = re.compile(r"[a-zA-Z][a-zA-Z0-9]*$")
+
+
+def _rewrite_named_groups(pattern: str) -> Optional[str]:
+    """Rewrite Python named groups/backrefs to their Java spellings:
+    ``(?P<name>…)`` → ``(?<name>…)`` and ``(?P=name)`` → ``\\k<name>``.
+
+    Escape-aware: a ``(`` preceded by an odd number of backslashes is a
+    literal paren, not a group opener. Returns None when a group name is
+    not a valid Java name (Java allows only ``[a-zA-Z][a-zA-Z0-9]*``;
+    Python also allows underscores and leading ``_``) — the caller then
+    falls back to the kernel."""
+    out = []
+    i, n = 0, len(pattern)
+    while i < n:
+        c = pattern[i]
+        if c == "\\" and i + 1 < n:
+            out.append(pattern[i : i + 2])
+            i += 2
+            continue
+        if pattern.startswith("(?P<", i):
+            end = pattern.find(">", i + 4)
+            if end < 0:
+                return None  # malformed; let the kernel's re handle it
+            name = pattern[i + 4 : end]
+            if not _JAVA_GROUP_NAME.fullmatch(name):
+                return None
+            out.append("(?<%s>" % name)
+            i = end + 1
+            continue
+        if pattern.startswith("(?P=", i):
+            end = pattern.find(")", i + 4)
+            if end < 0:
+                return None
+            name = pattern[i + 4 : end]
+            if not _JAVA_GROUP_NAME.fullmatch(name):
+                return None
+            out.append("\\k<%s>" % name)
+            i = end + 1
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
 
 def translate_python_regex(pattern: str) -> Optional[str]:
     """Translate a Python ``re`` pattern for Java ``rlike``, anchored at the
-    start only (``re.match`` semantics). Returns None if not translatable
-    (the caller takes the kernel-fallback path instead of risking a
-    runtime PatternSyntaxException on the executors)."""
+    start only (``re.match`` semantics). Named groups and backrefs are
+    rewritten to Java spellings; returns None if not translatable (the
+    caller takes the kernel-fallback path instead of risking a runtime
+    PatternSyntaxException on the executors)."""
     if _JAVA_INCOMPATIBLE.search(pattern):
         return None
+    if "(?P" in pattern:
+        rewritten = _rewrite_named_groups(pattern)
+        if rewritten is None:
+            return None
+        pattern = rewritten
     # Python \Z (absolute end) == Java \z
     translated = re.sub(r"(?<!\\)\\Z", r"\\z", pattern)
     return "^(?:" + translated + ")"

@@ -427,21 +427,103 @@ GROUP BY 1 HAVING count(*) >= 2 ORDER BY content
 _JACCARD_MAX_DF = 20
 
 
+def _documents_with_midsim_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard-gate corpus with MID-similarity seeds: base documents,
+    exact duplicates (doc_id+1000000 for doc_id%10==0, shingle Jaccard
+    s=1), and mutants (doc_id+2000000 for doc_id%10==5) built by keeping
+    the first k = floor((2n+2)/3) normalized tokens and replacing the
+    tail with unique filler — by construction their shingle Jaccard
+    against the base doc is ~0.5 (exactly 0.5 when shingles are distinct
+    and 3 | 2n+2), i.e. pairs AT the LSH design threshold, where banding
+    recall is weakest. DuckDB rebuilds the identical corpus."""
+    from .operators.dedup import normalized_text
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    exact = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    toks = F.split(normalized_text(F.col("text")), " ")
+    n = F.size(toks)
+    k = F.floor((n * 2 + 2) / F.lit(3)).cast("int")
+    mid_id = F.col("doc_id") + 2000000
+    filler = F.when(
+        n >= k + 1,
+        F.transform(
+            F.sequence(k + 1, n),
+            lambda j: F.concat_ws(
+                "", F.lit("zf"), mid_id.cast("string"), F.lit("x"), j.cast("string")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    mut = F.array_join(F.concat(F.slice(toks, F.lit(1), k), filler), " ")
+    midsim = docs.filter(F.col("doc_id") % 10 == 5).select(
+        mid_id.alias("doc_id"), mut.alias("text")
+    )
+    return docs.unionAll(exact).unionAll(midsim)
+
+
+_MIDSIM_DOCS_SQL = f"""
+jdocs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id,
+    array_to_string(
+      list_concat(
+        t[1:k],
+        list_transform(range(k + 1, n + 1),
+          j -> 'zf' || CAST(doc_id + 2000000 AS VARCHAR) || 'x' || CAST(j AS VARCHAR))
+      ), ' ') AS text
+  FROM (
+    SELECT doc_id, t, len(t) AS n,
+           CAST(floor((len(t) * 2 + 2) / 3) AS INTEGER) AS k
+    FROM (SELECT doc_id, string_split({_NORM_SQL.format(col='text')}, ' ') AS t
+          FROM documents WHERE doc_id % 10 = 5)
+  )
+)
+"""
+
+
 def q_jaccard_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PRIMARY Jaccard path = the 100 TB path: banded MinHash-LSH
-    candidate generation followed by linear exact-Jaccard verification at
-    threshold 1/2, gated against the full uncapped exact-join oracle.
-    The oracle thereby also proves LSH recall is total at this threshold
-    on this corpus (16 bands x 4 rows; a missed >=0.5 pair would go red).
+    candidate generation followed by linear exact-Jaccard verification,
+    gated against full uncapped exact-join oracles — on a corpus that
+    seeds pairs AT the 0.5 design threshold (see
+    :func:`_documents_with_midsim_dupes`), where banding recall is
+    weakest, not just identical-text pairs. Two MINHASH_PRESETS run:
+
+    * ``strict-0.5`` (k=128, 64 bands x 2 rows), verify threshold 1/2 —
+      P(miss) at s=0.5 is (1-0.25)^64 ~ 1e-8, so every >=0.5 pair
+      (exact AND mid-similarity) must match the exact oracle;
+    * ``exact-dup`` (k=32, 16 bands x 2 rows), verify threshold 1/1 —
+      recall at s=1 is STRUCTURAL (identical sets => identical
+      signatures at any k), proving the half-cost preset loses nothing
+      for seeded-duplicate removal.
+
     The capped inverted-index exact join remains the small-corpus twin
     (jaccard_pairs_inverted)."""
-    from .operators.dedup import jaccard_verify_candidates, minhash_lsh_candidates
+    from .operators.dedup import (
+        MINHASH_PRESETS,
+        jaccard_verify_candidates,
+        minhash_lsh_candidates,
+    )
 
-    df = _documents_with_dupes(spark, sf_dir)
-    cand = minhash_lsh_candidates(df, "text", "doc_id")
-    return jaccard_verify_candidates(
-        df, cand, "text", "doc_id", n=3, threshold_num=1, threshold_den=2
-    ).orderBy("a_id", "b_id")
+    df = _documents_with_midsim_dupes(spark, sf_dir)
+    parts = []
+    for preset, thr_num, thr_den in (("strict-0.5", 1, 2), ("exact-dup", 1, 1)):
+        p = MINHASH_PRESETS[preset]
+        cand = minhash_lsh_candidates(
+            df, "text", "doc_id", num_hashes=p["num_hashes"], bands=p["bands"]
+        )
+        parts.append(
+            jaccard_verify_candidates(
+                df, cand, "text", "doc_id", n=3,
+                threshold_num=thr_num, threshold_den=thr_den,
+            ).select(F.lit(preset).alias("preset"), "a_id", "b_id",
+                     "n_common", "n_a", "n_b")
+        )
+    return parts[0].unionAll(parts[1]).orderBy("preset", "a_id", "b_id")
 
 
 def q_jaccard_pairs_inverted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -471,25 +553,31 @@ toks AS (
   SELECT doc_id, unnest(shingles) AS shingle FROM sh WHERE len(shingles) > 0
 )"""
 
-# primary-path oracle: UNCAPPED exact Jaccard at threshold 1/2 — what the
-# LSH->verify pipeline must reproduce (verification computes similarity on
-# full shingle sets)
+# primary-path oracle: UNCAPPED exact Jaccard over the midsim-seeded
+# corpus, one branch per gate preset — strict-0.5 must reproduce every
+# pair with J >= 1/2 (including the seeded ~0.5 mutants), exact-dup every
+# identical-shingle-set pair (threshold 1/1)
 ORACLE_JACCARD_PAIRS_PRIMARY = f"""
-WITH {_DOCS_DUPES_SQL},
-{_JACCARD_SHINGLE_CTES},
+WITH {_MIDSIM_DOCS_SQL},
+{_JACCARD_SHINGLE_CTES.replace("docs_with_dupes", "jdocs")},
 sized AS (
   SELECT doc_id, count(*) AS n_sh FROM inv GROUP BY doc_id
 ), pairs AS (
   SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_common
   FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
+), joined AS (
+  SELECT p.a_id, p.b_id, p.n_common, sa.n_sh AS n_a, sb.n_sh AS n_b
+  FROM pairs p
+  JOIN sized sa ON sa.doc_id = p.a_id
+  JOIN sized sb ON sb.doc_id = p.b_id
 )
-SELECT p.a_id, p.b_id, p.n_common, sa.n_sh AS n_a, sb.n_sh AS n_b
-FROM pairs p
-JOIN sized sa ON sa.doc_id = p.a_id
-JOIN sized sb ON sb.doc_id = p.b_id
-WHERE p.n_common * 2 >= 1 * (sa.n_sh + sb.n_sh - p.n_common)
-ORDER BY a_id, b_id
+SELECT 'strict-0.5' AS preset, a_id, b_id, n_common, n_a, n_b
+FROM joined WHERE n_common * 2 >= 1 * (n_a + n_b - n_common)
+UNION ALL
+SELECT 'exact-dup' AS preset, a_id, b_id, n_common, n_a, n_b
+FROM joined WHERE n_common * 1 >= 1 * (n_a + n_b - n_common)
+ORDER BY preset, a_id, b_id
 """
 
 ORACLE_JACCARD_PAIRS_DOCUMENTS = f"""
@@ -550,57 +638,40 @@ ORDER BY a_id, b_id
 
 
 def q_text_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.text import text_stats
+    """Character-class stats + BPE-ish token estimate per document, both
+    text operators joined on doc_id into one gate row (absorbs the former
+    token_count_documents gate; token_count's own n_tokens is kept as
+    tc_n_tokens so both operators' outputs stay independently gated)."""
+    from .operators.text import text_stats, token_count
 
     docs = load_table(spark, "documents", sf_dir)
-    return text_stats(docs).orderBy("doc_id")
+    tc = token_count(docs).select(
+        "doc_id",
+        F.col("n_tokens").alias("tc_n_tokens"),
+        "n_subwords",
+    )
+    return text_stats(docs).join(tc, "doc_id").orderBy("doc_id")
 
 
 ORACLE_TEXT_STATS_DOCUMENTS = f"""
+WITH toks AS (
+  SELECT doc_id, text, string_split({_NORM_SQL.format(col='text')}, ' ') AS t
+  FROM documents
+)
 SELECT doc_id,
   length(text) AS n_chars,
   length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS n_alpha,
   length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
   length(text) - length(regexp_replace(text, '\\s', '', 'g')) AS n_space,
   length(text) - length(regexp_replace(text, '[\\.,;:!?''"()\\[\\]{{}}-]', '', 'g')) AS n_punct,
-  len(string_split({_NORM_SQL.format(col='text')}, ' ')) AS n_tokens
-FROM documents ORDER BY doc_id
-"""
-
-
-def q_token_count_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.text import token_count
-
-    docs = load_table(spark, "documents", sf_dir)
-    return token_count(docs).orderBy("doc_id")
-
-
-ORACLE_TOKEN_COUNT_DOCUMENTS = f"""
-WITH toks AS (
-  SELECT doc_id, text, string_split({_NORM_SQL.format(col='text')}, ' ') AS t
-  FROM documents
-)
-SELECT doc_id,
-  CAST(len(t) AS BIGINT) AS n_tokens,
+  len(t) AS n_tokens,
+  CAST(len(t) AS BIGINT) AS tc_n_tokens,
   CAST(len(t)
     + length(regexp_replace(text, '[^\\.,;:!?]', '', 'g'))
     + list_sum(list_transform(t, x -> CASE WHEN length(x) > 6 THEN length(x) // 6 ELSE 0 END))
     AS BIGINT) AS n_subwords
 FROM toks ORDER BY doc_id
 """
-
-
-def q_quality_score_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality-score gate: the heuristic's double arithmetic is expressed
-    in the SAME operation order on both engines, so IEEE results are
-    bit-identical and the decimal(9,4)-string outputs hash-match."""
-    from .operators.text import quality_score
-
-    docs = load_table(spark, "documents", sf_dir)
-    return quality_score(docs).select(
-        "doc_id",
-        F.col("quality").cast("decimal(9,4)").cast("string").alias("quality"),
-    ).orderBy("doc_id")
 
 
 def _quality_oracle() -> str:
@@ -641,11 +712,28 @@ FROM comp ORDER BY doc_id
 """
 
 
-def q_language_guess_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.text import language_guess
+def q_quality_language_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality score + language guess joined on doc_id into one gate
+    (absorbs the former separate quality_score_documents /
+    language_guess_documents gates; both operators' outputs stay fully
+    oracled)."""
+    from .operators.text import language_guess, quality_score
 
     docs = load_table(spark, "documents", sf_dir)
-    return language_guess(docs).orderBy("doc_id")
+    q = quality_score(docs).select(
+        "doc_id",
+        F.col("quality").cast("decimal(9,4)").cast("string").alias("quality"),
+    )
+    return q.join(language_guess(docs), "doc_id").orderBy("doc_id")
+
+
+def _quality_language_oracle() -> str:
+    return f"""
+SELECT q.doc_id, q.quality, l.lang_guess
+FROM ({_quality_oracle()}) q
+JOIN ({_lang_oracle()}) l ON q.doc_id = l.doc_id
+ORDER BY q.doc_id
+"""
 
 
 def _lang_oracle() -> str:
@@ -796,29 +884,14 @@ def q_ann_lsh_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_ANN_LSH_EMBEDDINGS = "SELECT 20 AS k, TRUE AS recall_ok"
 
 
-def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gates the binary-column mapInPandas round-trip: payloads are a
-    deterministic function of (media_ref, media_kind), so the decoded
-    n_bytes aggregate is reproducible in SQL from the docs table."""
-    from .operators.multimodal import extract_media_metadata, synth_media_payloads
-
-    docs = _docs(spark)
-    meta = extract_media_metadata(synth_media_payloads(docs))
-    return (
-        meta.groupBy("media_kind")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_bytes").alias("total_bytes"))
-        .orderBy("media_kind")
-    )
-
-
 def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULLY-oracled multimodal decode plumbing: the mapInPandas decode
     stub derives (content_hash, width, height, duration_ms) from the
     payload's sha256, which DuckDB recomputes byte-for-byte (sha256 +
     hex-digit arithmetic). This pins the Arrow-batched UDF path
     end-to-end per media object — schema, batching, binary round-trip —
-    with zero tolerance, not just aggregate byte counts
-    (media_metadata's gate)."""
+    with zero tolerance — per-object rows subsume the old aggregate
+    byte-count gate (media_metadata, folded into this one)."""
     from .operators.multimodal import extract_media_metadata, synth_media_payloads
 
     docs = _docs(spark)
@@ -955,16 +1028,6 @@ ORDER BY media_ref, frame_idx
 """
 
 
-ORACLE_MEDIA_METADATA = _docs_cte() + """
-, media AS (
-  SELECT DISTINCT s.media_ref AS media_ref, s.kind AS media_kind
-  FROM (SELECT unnest(spans) AS s FROM docs)
-  WHERE s.media_ref IS NOT NULL
-)
-SELECT media_kind, count(*) AS n,
-  CAST(sum(length('payload:' || media_ref || ':' || repeat(media_kind, 8))) AS BIGINT) AS total_bytes
-FROM media GROUP BY media_kind ORDER BY media_kind
-"""
 
 
 def q_drift_documents_nchars(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1068,14 +1131,11 @@ QUERIES.update(
         "jaccard_pairs_inverted": q_jaccard_pairs_inverted,
         "minhash_verified_pairs": q_minhash_verified_pairs,
         "text_stats_documents": q_text_stats_documents,
-        "token_count_documents": q_token_count_documents,
-        "quality_score_documents": q_quality_score_documents,
-        "language_guess_documents": q_language_guess_documents,
+        "quality_language_documents": q_quality_language_documents,
         "cosine_topk_embeddings": q_cosine_topk_embeddings,
         "minhash_lsh_documents": q_minhash_lsh_documents,
         "simhash_documents": q_simhash_documents,
         "ann_lsh_embeddings": q_ann_lsh_embeddings,
-        "media_metadata": q_media_metadata,
         "media_decode": q_media_decode,
         "media_resize": q_media_resize,
         "media_frames": q_media_frames,
@@ -1091,12 +1151,9 @@ ORACLES.update(
         "jaccard_pairs_inverted": ORACLE_JACCARD_PAIRS_DOCUMENTS,
         "minhash_verified_pairs": ORACLE_MINHASH_VERIFIED_PAIRS,
         "text_stats_documents": ORACLE_TEXT_STATS_DOCUMENTS,
-        "token_count_documents": ORACLE_TOKEN_COUNT_DOCUMENTS,
-        "quality_score_documents": _quality_oracle(),
-        "language_guess_documents": _lang_oracle(),
+        "quality_language_documents": _quality_language_oracle(),
         "cosine_topk_embeddings": ORACLE_COSINE_TOPK_EMBEDDINGS,
         "ann_lsh_embeddings": ORACLE_ANN_LSH_EMBEDDINGS,
-        "media_metadata": ORACLE_MEDIA_METADATA,
         "media_decode": ORACLE_MEDIA_DECODE,
         "media_resize": ORACLE_MEDIA_RESIZE,
         "media_frames": ORACLE_MEDIA_FRAMES,
@@ -1192,56 +1249,38 @@ ORACLES["domain_diff_orders"] = ORACLE_DOMAIN_DIFF_ORDERS
 
 
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Contract gate over hamming-banded SimHash candidate pairs: DuckDB
-    recomputes the seeded expectation (every seeded exact-dup pair, which
-    has hamming 0, must be surfaced) and pins the operator invariants —
-    hamming bounded by max_hamming, canonical a<b ordering, no duplicate
-    pairs. (The non-seeded pair set is xxhash64-fingerprint-dependent,
-    Spark-specific by design; its banding recall is separately gated by
-    simhash_seeded_recall.)"""
+    """Contract gate over hamming-banded SimHash candidate pairs, one row
+    per seeded pair: every seeded exact duplicate (doc_id + 1000000,
+    identical text, hamming 0) MUST be surfaced by the pigeonhole banding
+    — DuckDB enumerates the expected pairs — and each row also carries
+    the operator's global invariants (hamming bounded by max_hamming,
+    canonical a<b ordering, no duplicate pairs), computed over the FULL
+    pair set by a 1-row aggregate. (Absorbs the former
+    simhash_seeded_recall gate: row enumeration subsumes the old count.
+    The non-seeded pair set is xxhash64-fingerprint-dependent,
+    Spark-specific by design.)"""
     from .operators.dedup import simhash_candidates
 
     df = _documents_with_dupes(spark, sf_dir)
     pairs = simhash_candidates(df, max_hamming=3)
-    return pairs.agg(
-        F.sum(
-            (
-                (F.col("b_id") == F.col("a_id") + 1000000)
-                & (F.col("hamming") == 0)
-            ).cast("long")
-        ).alias("n_seeded_found"),
+    invariants = pairs.agg(
         (F.max("hamming") <= 3).alias("hamming_bounded"),
         (F.sum((F.col("a_id") >= F.col("b_id")).cast("long")) == 0).alias("order_ok"),
         (
             F.count_distinct(F.col("a_id"), F.col("b_id")) == F.count(F.lit(1))
         ).alias("pairs_distinct"),
     )
+    seeded = pairs.filter(F.col("b_id") == F.col("a_id") + 1000000).select(
+        "a_id", "b_id", "hamming"
+    )
+    # 1-row x N-row cross join: broadcasts the invariant scalars onto the
+    # seeded enumeration (same pattern as the drift bound gates)
+    return seeded.crossJoin(F.broadcast(invariants)).orderBy("a_id")
 
 
 ORACLE_SIMHASH_NEAR_DUPS = """
-SELECT CAST(count(*) AS BIGINT) AS n_seeded_found,
+SELECT doc_id AS a_id, doc_id + 1000000 AS b_id, 0 AS hamming,
        true AS hamming_bounded, true AS order_ok, true AS pairs_distinct
-FROM documents WHERE doc_id % 10 = 0
-"""
-
-
-def q_simhash_seeded_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall oracle for pigeonhole-banded SimHash: the seeded exact
-    duplicates (doc_id + 1000000, identical text) have hamming distance 0,
-    so banding MUST surface every one of them — DuckDB enumerates the
-    expected pairs from the base table. b_id - a_id = 1000000 identifies
-    exactly the seeded pairs (base ids < 1000000, dup ids >= 1000000)."""
-    from .operators.dedup import simhash_candidates
-
-    df = _documents_with_dupes(spark, sf_dir)
-    pairs = simhash_candidates(df, max_hamming=3)
-    return pairs.filter(F.col("b_id") == F.col("a_id") + 1000000).select(
-        "a_id", "b_id", "hamming"
-    ).orderBy("a_id")
-
-
-ORACLE_SIMHASH_SEEDED_RECALL = """
-SELECT doc_id AS a_id, doc_id + 1000000 AS b_id, 0 AS hamming
 FROM documents WHERE doc_id % 10 = 0 ORDER BY a_id
 """
 
@@ -1285,36 +1324,30 @@ FROM documents ORDER BY id
 """
 
 
-def q_partition_verdict_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-checks the per-partition rollup against document-level truth:
-    summing the partition verdicts must reproduce the global doc/valid
-    counts, which DuckDB recomputes from flagship validation semantics."""
-    report = _flagship_engine(buckets=64).check(_docs(spark))
-    return report.verdicts().agg(
-        F.sum("n_docs").alias("n_docs"), F.sum("n_valid").alias("n_valid")
-    )
-
-
-ORACLE_PARTITION_VERDICT_TOTALS = _docs_cte() + f"""
-SELECT count(*) AS n_docs,
-  CAST(sum(CASE WHEN (regexp_full_match(doc_id, 'doc-\\d{{12}}')
-       AND len(spans) >= 1
-       AND coalesce(list_aggregate(list_transform(spans, s -> {_SPAN_OK}), 'bool_and'), TRUE))
-      THEN 1 ELSE 0 END) AS BIGINT) AS n_valid
-FROM docs
-"""
-
-
 def q_verdict_rollup_total(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """rollup(_part_id) grouping sets: the grand-total row (is_total=1)
-    must equal the document-level truth DuckDB recomputes; per-partition
-    rows share the plan (xxhash buckets, covered rows-only elsewhere)."""
+    """Two aggregation paths against one document-level truth (absorbs
+    the former partition_verdict_totals gate): the ``rollup(_part_id)``
+    grouping-sets grand-total row (is_total=1) AND the sum over the
+    per-partition verdicts() rows must both reproduce the global
+    doc/valid counts and overall pass DuckDB recomputes from flagship
+    validation semantics."""
     report = _flagship_engine(buckets=64).check(_docs(spark))
-    return (
+    rollup = (
         report.verdict_rollup()
         .filter(F.col("is_total") == 1)
-        .select("n_docs", "n_valid", F.col("pass"))
+        .select(
+            F.lit("rollup_total").alias("source"),
+            "n_docs",
+            "n_valid",
+            F.col("pass"),
+        )
     )
+    summed = report.verdicts().agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("n_valid").alias("n_valid"),
+        F.bool_and("pass").alias("pass"),
+    ).select(F.lit("verdicts_sum").alias("source"), "n_docs", "n_valid", "pass")
+    return rollup.unionAll(summed).orderBy("source")
 
 
 ORACLE_VERDICT_ROLLUP_TOTAL = _docs_cte() + f"""
@@ -1324,11 +1357,16 @@ ORACLE_VERDICT_ROLLUP_TOTAL = _docs_cte() + f"""
    AND coalesce(list_aggregate(list_transform(spans, s -> {_SPAN_OK}), 'bool_and'), TRUE)
   ) AS valid
   FROM docs
+), total AS (
+  SELECT count(*) AS n_docs,
+         CAST(sum(CASE WHEN valid THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+         bool_and(valid) AS pass
+  FROM verdicts
 )
-SELECT count(*) AS n_docs,
-       CAST(sum(CASE WHEN valid THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
-       bool_and(valid) AS pass
-FROM verdicts
+SELECT 'rollup_total' AS source, n_docs, n_valid, pass FROM total
+UNION ALL
+SELECT 'verdicts_sum' AS source, n_docs, n_valid, pass FROM total
+ORDER BY source
 """
 
 QUERIES["verdict_rollup_total"] = q_verdict_rollup_total
@@ -1714,18 +1752,25 @@ ORACLES["events_window_counts"] = ORACLE_EVENTS_WINDOW_COUNTS
 
 
 def q_events_stream_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming-RUNTIME event-time windowed aggregation gated against
-    the batch oracle: the events table is split into three parquet
-    slices (event_id mod 3 — batch order is irrelevant in complete
-    mode), streamed back one file per trigger (availableNow, so the
-    windowed state is built across three real micro-batches), and
-    aggregated with the same 1-hour tumbling windows as the batch twin
-    (events_window_counts). Complete output mode emits every window, so
-    the cross-batch streaming state must reproduce the batch aggregation
-    exactly — which DuckDB recomputes. (Append-mode WATERMARK semantics
-    — late rows dropped, windows withheld until the watermark passes —
-    are pytest-gated in tests/test_streaming.py; the emission boundary
-    is engine-internal and not SQL-reproducible.)"""
+    """Streaming-RUNTIME event-time windowed aggregation, BOTH output
+    modes, gated against DuckDB:
+
+    * ``complete`` — the events table split into three parquet slices
+      (event_id mod 3; batch order irrelevant in complete mode),
+      streamed one file per trigger (availableNow), so the cross-batch
+      windowed state must reproduce the full batch aggregation.
+    * ``append`` — WATERMARK EMISSION semantics, deterministically: the
+      table is sliced into three ascending day ranges (mtime-ordered, so
+      the file source replays them in event-time order) plus one LATE
+      batch (day-1 events re-keyed) arriving last. Append mode only
+      emits a window once the watermark (max seen ts - 30 min) passes
+      its end, and drops rows behind the watermark — so the emitted set
+      is exactly the hour windows with window_end <= max(ts) - 30 min
+      (the final no-data micro-batch flushes against the last watermark)
+      with counts from on-time rows only; every late row is behind the
+      watermark by construction and must be dropped. DuckDB recomputes
+      both the emitted-window frontier and the counts.
+    """
     # watermarks require TIMESTAMP (instant) columns; the parquet ts is
     # NTZ. The cast interprets the naive value in the session timezone
     # and the output renders it back in the same zone — an exact
@@ -1736,7 +1781,6 @@ def q_events_stream_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "value",
     )
-    slices = [ev.filter(F.col("event_id") % 3 == k) for k in range(3)]
 
     def windowed(stream: DataFrame) -> DataFrame:
         return (
@@ -1750,23 +1794,68 @@ def q_events_stream_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    out = _replay_stream_to_table(
+    def shape(out: DataFrame, mode: str) -> DataFrame:
+        return out.select(
+            F.lit(mode).alias("mode"),
+            F.col("window").getField("start").cast("string").alias("window_start"),
+            "event_type",
+            "n",
+            "total_cents",
+        )
+
+    complete = _replay_stream_to_table(
         spark,
-        slices,
+        [ev.filter(F.col("event_id") % 3 == k) for k in range(3)],
         windowed,
         output_mode="complete",  # batch order irrelevant: no sleeps needed
         name_prefix="events_stream_windows",
     )
-    return out.select(
-        F.col("window").getField("start").cast("string").alias("window_start"),
-        "event_type",
-        "n",
-        "total_cents",
-    ).orderBy("window_start", "event_type")
 
+    day = F.dayofmonth("ts")
+    late = ev.filter(day <= 1).withColumn(
+        "event_id", F.col("event_id") + 10000000
+    )
+    append = _replay_stream_to_table(
+        spark,
+        [
+            ev.filter(day <= 10),
+            ev.filter((day > 10) & (day <= 20)),
+            ev.filter(day > 20),
+            late,
+        ],
+        windowed,
+        output_mode="append",
+        name_prefix="events_stream_append",
+        sleep_between=1.1,  # mtime order = arrival order for file sources
+    )
+    return (
+        shape(complete, "complete")
+        .unionAll(shape(append, "append"))
+        .orderBy("mode", "window_start", "event_type")
+    )
+
+
+ORACLE_EVENTS_STREAM_WINDOWS = """
+WITH agg AS (
+  SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start,
+         date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+         event_type,
+         count(*) AS n,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+  FROM events
+  GROUP BY 1, 2, 3
+), wm AS (
+  SELECT max(ts) - INTERVAL 30 MINUTE AS m FROM events
+)
+SELECT 'complete' AS mode, window_start, event_type, n, total_cents FROM agg
+UNION ALL
+SELECT 'append' AS mode, window_start, event_type, n, total_cents
+FROM agg, wm WHERE agg.window_end <= wm.m
+ORDER BY mode, window_start, event_type
+"""
 
 QUERIES["events_stream_windows"] = q_events_stream_windows
-ORACLES["events_stream_windows"] = ORACLE_EVENTS_WINDOW_COUNTS
+ORACLES["events_stream_windows"] = ORACLE_EVENTS_STREAM_WINDOWS
 QUERIES["events_json_props"] = q_events_json_props
 ORACLES["events_json_props"] = ORACLE_EVENTS_JSON_PROPS
 QUERIES["events_sessionization"] = q_events_sessionization
@@ -1884,29 +1973,9 @@ QUERIES["dedup_stream_replay"] = q_dedup_stream_replay
 ORACLES["dedup_stream_replay"] = ORACLE_DEDUP_STREAM_REPLAY
 
 QUERIES["simhash_near_dups"] = q_simhash_near_dups
-QUERIES["simhash_seeded_recall"] = q_simhash_seeded_recall
 QUERIES["winnowing_fingerprints"] = q_winnowing_fingerprints
-def q_partition_constraint_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-(partition, constraint) metrics rows summed back to global
-    per-constraint counts — the rollup must reproduce the document-level
-    truth the flagship metrics oracle recomputes."""
-    report = _flagship_engine(buckets=64).check(_docs(spark))
-    return (
-        report.partition_metrics()
-        .groupBy("constraint")
-        .agg(F.sum("n").alias("n"))
-        .orderBy("constraint")
-    )
-
-
-QUERIES["partition_constraint_totals"] = q_partition_constraint_totals
-ORACLES["partition_constraint_totals"] = ORACLE_FLAGSHIP_VIOLATION_METRICS
-
-QUERIES["partition_verdict_totals"] = q_partition_verdict_totals
-ORACLES["simhash_seeded_recall"] = ORACLE_SIMHASH_SEEDED_RECALL
 ORACLES["simhash_near_dups"] = ORACLE_SIMHASH_NEAR_DUPS
 ORACLES["winnowing_fingerprints"] = ORACLE_WINNOWING_FINGERPRINTS
-ORACLES["partition_verdict_totals"] = ORACLE_PARTITION_VERDICT_TOTALS
 
 
 # ---------------------------------------------------------------------------
@@ -2007,8 +2076,13 @@ _TYPED_VALID_SQL = r"""(
 
 
 def q_typed_matrix_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-row verdict + first-violation (path, constraint) over the
-    typed-matrix table — every M2 validator family in one lowered plan."""
+    """Per-row verdict + first-violation (path, constraint, MESSAGE) over
+    the typed-matrix table — every M2 validator family in one lowered
+    plan. The message column is byte-exact for every property-level
+    violation class and masked to NULL for object.required (path = ''),
+    whose full-row-repr message is gated separately on a narrow frame by
+    typed_required_missing. (Absorbs the former typed_matrix_messages
+    gate so the driver's 50-query sample covers the whole surface.)"""
     from .sources.typed import typed_schema
 
     report = _typed_engine().check(_typed(spark))
@@ -2018,6 +2092,9 @@ def q_typed_matrix_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_valid").alias("valid"),
         first.getField("path").alias("path"),
         first.getField("constraint").alias("constraint"),
+        F.when(
+            first.getField("path") != "", first.getField("message")
+        ).alias("message"),
     )
 
 
@@ -2028,52 +2105,18 @@ def _oracle_typed_matrix_verdicts() -> str:
     con_case = "CASE cls %s END" % " ".join(
         "WHEN %d THEN '%s'" % (c, _sq(con)) for c, _, con, _ in _typed_expected()
     )
-    return _typed_cte() + f"""
-SELECT rec_id,
-  {_TYPED_VALID_SQL} AS valid,
-  {path_case} AS path,
-  {con_case} AS "constraint"
-FROM typed
-"""
-
-
-def q_typed_matrix_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Byte-exact first-violation MESSAGES for every property-level
-    violation class (path <> '' excludes object.required, whose message
-    embeds the full row repr — gated separately on a narrow frame by
-    typed_required_missing)."""
-    from .sources.typed import typed_schema
-
-    report = _typed_engine().check(_typed(spark))
-    first = F.try_element_at("_violations", F.lit(1))
-    return (
-        report.annotated.filter(~F.col("_valid"))
-        .select(
-            "rec_id",
-            first.getField("path").alias("path"),
-            first.getField("message").alias("message"),
-        )
-        .filter(F.col("path") != "")
-        .orderBy("rec_id")
-    )
-
-
-def _oracle_typed_matrix_messages() -> str:
     msg_case = "CASE cls %s END" % " ".join(
         "WHEN %d THEN '%s'" % (c, _sq(msg))
         for c, _, _, msg in _typed_expected()
         if msg is not None
     )
-    path_case = "CASE cls %s END" % " ".join(
-        "WHEN %d THEN '%s'" % (c, _sq(path))
-        for c, path, _, msg in _typed_expected()
-        if msg is not None
-    )
     return _typed_cte() + f"""
-SELECT rec_id, {path_case} AS path, {msg_case} AS message
+SELECT rec_id,
+  {_TYPED_VALID_SQL} AS valid,
+  {path_case} AS path,
+  {con_case} AS "constraint",
+  {msg_case} AS message
 FROM typed
-WHERE NOT {_TYPED_VALID_SQL} AND cls <> 7
-ORDER BY rec_id
 """
 
 
@@ -2202,11 +2245,9 @@ QUERIES["open_extras_verdicts"] = q_open_extras_verdicts
 ORACLES["open_extras_verdicts"] = ORACLE_OPEN_EXTRAS_VERDICTS
 
 QUERIES["typed_matrix_verdicts"] = q_typed_matrix_verdicts
-QUERIES["typed_matrix_messages"] = q_typed_matrix_messages
 QUERIES["typed_required_missing"] = q_typed_required_missing
 QUERIES["typed_adapted"] = q_typed_adapted
 ORACLES["typed_matrix_verdicts"] = _oracle_typed_matrix_verdicts()
-ORACLES["typed_matrix_messages"] = _oracle_typed_matrix_messages()
 ORACLES["typed_required_missing"] = ORACLE_TYPED_REQUIRED_MISSING
 ORACLES["typed_adapted"] = _oracle_typed_adapted()
 
