@@ -310,10 +310,7 @@ def minhash_signatures_arrow(
 
 # Documented (num_hashes, bands) presets for banded MinHash LSH. The
 # per-pair catch probability at shingle-Jaccard s is
-# 1 - (1 - s^r)^b with r = num_hashes // bands rows per band; signature
-# cost is LINEAR in num_hashes (BENCH.md: the 64-hash signature step is
-# ~all of dedup's cost at 1.1M docs), so pick the cheapest preset whose
-# recall clears the target threshold:
+# 1 - (1 - s^r)^b with r = num_hashes // bands rows per band:
 #
 #   preset           k    b   r   P(catch) s=1.0  s=0.6   s=0.5   s=0.3
 #   exact-dup        32   16  2   1.0            .998    .986    .78
@@ -321,14 +318,21 @@ def minhash_signatures_arrow(
 #   strict-0.5       128  64  2   1.0            ~1      1-1e-8  .998
 #   cheap-0.8        32   8   4   1.0            .71     .41     .06
 #
+# COST (measured, BENCH.md round 4, 500k real docs / 52 shingles avg,
+# local[32]): signature cost is floor-dominated, NOT linear in k —
+# shingling (split + 3-gram + distinct, pure string ops) is ~20s and
+# the interpreted-HOF min-reduction has a ~16s k-independent overhead;
+# the k-proportional hash math is only ~0.09s per hash function. k=64 →
+# 39.1s, k=32 → 34.4s (1.14x): choose k for RECALL/SELECTIVITY, not
+# cost — r4 corrects the r3 "cost linear in k" extrapolation.
+#
 # "exact-dup" (seeded-duplicate removal, s=1) needs only structural
-# recall — identical sets give identical signatures at ANY k, so k=32
-# halves signature cost vs the k=64 default with zero recall loss; the
-# gate corpus proves it (jaccard_pairs_documents runs both presets).
-# "strict-0.5" is for corpora where missing a borderline s=0.5 pair
-# matters; r=2 keeps per-band selectivity high enough that candidate
-# volume stays near-linear (r=1 would flood verification with s~0.1
-# pairs).
+# recall — identical sets give identical signatures at ANY k, so the
+# smallest k works with zero recall loss; the gate corpus proves it
+# (jaccard_pairs_documents runs both presets). "strict-0.5" is for
+# corpora where missing a borderline s=0.5 pair matters; r=2 keeps
+# per-band selectivity high enough that candidate volume stays
+# near-linear (r=1 would flood verification with s~0.1 pairs).
 MINHASH_PRESETS = {
     "exact-dup": {"num_hashes": 32, "bands": 16},
     "near-dup-0.5": {"num_hashes": 64, "bands": 32},
