@@ -76,7 +76,13 @@ def exact_duplicates(
 
 
 def word_shingles(col: Column, n: int = 3) -> Column:
-    """Distinct n-word shingles of a text column (empty-safe)."""
+    """Distinct n-word shingles of a text column, as STRINGS (empty-safe).
+
+    Kept for callers that need the shingle text itself; the dedup hot
+    paths use :func:`shingle_hash_frame` instead — building ~|tokens|
+    small strings per document is the measured cost driver of the whole
+    MinHash pipeline (BENCH.md round 4: 18.2s vs 0.96s for the hashed
+    form on 500k docs)."""
     tokens = F.split(normalized_text(col), " ")
     k = F.size(tokens) - (n - 1)
     return F.when(k <= 0, F.array().cast("array<string>")).otherwise(
@@ -87,6 +93,49 @@ def word_shingles(col: Column, n: int = 3) -> Column:
             )
         )
     )
+
+
+def shingle_hash_frame(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    out_col: str = "sh",
+) -> DataFrame:
+    """(id, ``out_col``: array<long>) — DISTINCT n-gram shingle hashes,
+    built WITHOUT materializing shingle strings: tokens are xxhash64'd
+    once into a staged column, then each shingle's hash is the fold
+    xxhash64(…xxhash64(h_i, h_{i+1})…, h_{i+n-1}) over n aligned slices
+    (zip_with — pure 64-bit math, whole-stage codegen).
+
+    Set-equivalent to hashing :func:`word_shingles` output (collisions
+    aside, negligible at 64 bits): per-doc distinct-set CARDINALITY was
+    verified equal on 500k real docs, and identical text still yields
+    identical hash sets, which is all Jaccard/MinHash semantics need.
+    The hash VALUES differ from xxhash64(shingle-string) — they are
+    engine-internal either way. Measured 19x faster than the string
+    path (BENCH.md round 4): string shingling was ~50% of MinHash
+    end-to-end cost, so this is the single biggest dedup scale lever.
+
+    Two-step staging is load-bearing: the token-hash array must be a
+    real column before the slices reference it — Spark does no CSE
+    across array-lambda boundaries, so an inline expression would
+    re-tokenize and re-hash per slice (measured 3x SLOWER than even the
+    string path)."""
+    toks = F.split(normalized_text(F.col(text_col)), " ")
+    staged = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(toks, lambda t: F.xxhash64(t)).alias("_th"),
+    )
+    ln = F.greatest(F.size("_th") - F.lit(n - 1), F.lit(0))
+    comb = F.slice("_th", F.lit(1), ln)
+    for j in range(1, n):
+        comb = F.zip_with(
+            comb,
+            F.slice("_th", F.lit(j + 1), ln),
+            lambda x, y: F.xxhash64(x, y),
+        )
+    return staged.select("id", F.array_distinct(comb).alias(out_col))
 
 
 def ngram_jaccard_pairs(
@@ -115,12 +164,8 @@ def ngram_jaccard_pairs(
     construction. At 100 TB run this after MinHash candidate generation
     (:func:`jaccard_verify_candidates`) rather than as a raw self-join.
     """
-    base = df.select(
-        F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("sh")
-    ).filter(F.size("sh") > 0)
-    inv = base.select(
-        "id", F.explode("sh").alias("shingle")
-    ).select("id", F.xxhash64("shingle").alias("sid"))
+    base = shingle_hash_frame(df, text_col, id_col, n).filter(F.size("sh") > 0)
+    inv = base.select("id", F.explode("sh").alias("sid"))
     # shingles are distinct per doc, so count(*) per sid IS the document
     # frequency; the df filter shuffles on the same key as the self-join
     # below (Catalyst/AQE reuses the exchange)
@@ -163,10 +208,7 @@ def jaccard_verify_candidates(
     Cost is O(|candidates| * avg shingle count): no self-join, no
     quadratic bucket risk. Output matches :func:`ngram_jaccard_pairs`.
     """
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        word_shingles(F.col(text_col), n).alias("sh"),
-    ).filter(F.size("sh") > 0)
+    sh = shingle_hash_frame(df, text_col, id_col, n).filter(F.size("sh") > 0)
     cand = candidates.select("a_id", "b_id")
     joined = (
         cand.join(sh.select(F.col("id").alias("a_id"), F.col("sh").alias("sh_a")), "a_id")
@@ -199,14 +241,19 @@ def minhash_signatures(
     coeffs = _hash_coefficients(num_hashes, seed)
     # stage the shingle hashes into a real column first: referencing the
     # expression k times would re-tokenize and re-hash the text k times
-    # (no CSE across array-lambda boundaries)
-    staged = df.select(
-        F.col(id_col).alias("id"),
-        F.transform(
-            word_shingles(F.col(text_col), shingle_n),
-            lambda s: F.pmod(F.xxhash64(s), F.lit(_P)),
-        ).alias("_hashes"),
-    ).filter(F.size("_hashes") > 0)
+    # (no CSE across array-lambda boundaries). Shingle hashes come from
+    # the string-free hash-combine path (shingle_hash_frame) — 19x
+    # faster than building shingle strings (BENCH.md round 4)
+    staged = (
+        shingle_hash_frame(df, text_col, id_col, shingle_n, out_col="_sh")
+        .select(
+            "id",
+            F.transform(
+                F.col("_sh"), lambda h: F.pmod(h, F.lit(_P))
+            ).alias("_hashes"),
+        )
+        .filter(F.size("_hashes") > 0)
+    )
 
     def universal(a: int, b: int):
         # closure factory: a default-arg lambda would change the lambda's
@@ -259,13 +306,17 @@ def minhash_signatures_arrow(
     B = np.array([b for _, b in coeffs], dtype=np.uint64)
     P = np.uint64(_P)
 
-    staged = df.select(
-        F.col(id_col).alias("id"),
-        F.transform(
-            word_shingles(F.col(text_col), shingle_n),
-            lambda s: F.pmod(F.xxhash64(s), F.lit(_P)),
-        ).alias("_hashes"),
-    ).filter(F.size("_hashes") > 0)
+    # identical staging to minhash_signatures (bit-identical contract)
+    staged = (
+        shingle_hash_frame(df, text_col, id_col, shingle_n, out_col="_sh")
+        .select(
+            "id",
+            F.transform(
+                F.col("_sh"), lambda h: F.pmod(h, F.lit(_P))
+            ).alias("_hashes"),
+        )
+        .filter(F.size("_hashes") > 0)
+    )
 
     out_schema = T.StructType(
         [
@@ -318,13 +369,13 @@ def minhash_signatures_arrow(
 #   strict-0.5       128  64  2   1.0            ~1      1-1e-8  .998
 #   cheap-0.8        32   8   4   1.0            .71     .41     .06
 #
-# COST (measured, BENCH.md round 4, 500k real docs / 52 shingles avg,
-# local[32]): signature cost is floor-dominated, NOT linear in k —
-# shingling (split + 3-gram + distinct, pure string ops) is ~20s and
-# the interpreted-HOF min-reduction has a ~16s k-independent overhead;
-# the k-proportional hash math is only ~0.09s per hash function. k=64 →
-# 39.1s, k=32 → 34.4s (1.14x): choose k for RECALL/SELECTIVITY, not
-# cost — r4 corrects the r3 "cost linear in k" extrapolation.
+# COST (measured, BENCH.md round 4, 1M real docs / 52 shingles avg,
+# local[32], forced evaluation): with the string-free
+# shingle_hash_frame staging, signatures cost 17.8s at k=64 and 11.1s
+# at k=32 (1.6x) — num_hashes is a real lever, so pick the cheapest
+# preset whose recall clears the target threshold. (The pre-r4 string
+# staging cost ~81s REGARDLESS of k — string shingling dominated; that
+# floor is gone.)
 #
 # "exact-dup" (seeded-duplicate removal, s=1) needs only structural
 # recall — identical sets give identical signatures at ANY k, so the

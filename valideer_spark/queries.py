@@ -499,8 +499,8 @@ def q_jaccard_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     * ``exact-dup`` (k=32, 16 bands x 2 rows), verify threshold 1/1 —
       recall at s=1 is STRUCTURAL (identical sets => identical
       signatures at any k), proving the smallest preset loses nothing
-      for seeded-duplicate removal (cost is floor-dominated, not
-      k-linear — see MINHASH_PRESETS).
+      for seeded-duplicate removal at ~1.6x less signature cost
+      (MINHASH_PRESETS).
 
     The capped inverted-index exact join remains the small-corpus twin
     (jaccard_pairs_inverted)."""
