@@ -408,17 +408,20 @@ def minhash_lsh_candidates(
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, seed)
+    # band key = variadic xxhash64 over (band index, the band's signature
+    # values) — no string rendering (the old cast+array_join form paid
+    # the same string-allocation tax shingle_hash_frame eliminated).
+    # element_at(signature, j) references collapse onto the individual
+    # min expressions (SimplifyExtractValueOps), so each of the
+    # num_hashes mins is still computed exactly once.
     band_cols = F.array(
         *[
             F.xxhash64(
                 F.lit(i),
-                F.array_join(
-                    F.transform(
-                        F.slice("signature", i * rows_per_band + 1, rows_per_band),
-                        lambda x: x.cast("string"),
-                    ),
-                    ",",
-                ),
+                *[
+                    F.element_at("signature", i * rows_per_band + j + 1)
+                    for j in range(rows_per_band)
+                ],
             )
             for i in range(bands)
         ]
