@@ -262,13 +262,20 @@ class ValidationEngine:
 
     def completed_partitions(self, spark: SparkSession) -> Optional[DataFrame]:
         if self.checkpoint_format == "iceberg":
-            from .sources.iceberg import read_table
+            from .sources.iceberg import iceberg_available, read_table
 
-            try:
-                return read_table(
-                    spark, self.checkpoint_table, fmt="iceberg"
-                ).select("part_id").distinct()
-            except Exception:
+            if iceberg_available(spark):
+                try:
+                    return read_table(
+                        spark, self.checkpoint_table, fmt="iceberg"
+                    ).select("part_id").distinct()
+                except Exception:
+                    return None
+            # jars absent: the engine maintains the same MERGE semantics
+            # on a parquet layout under checkpoint_dir (emulated branch
+            # of run_with_checkpoint); no checkpoint_dir -> nothing to
+            # read, stay graceful
+            if not self.checkpoint_dir:
                 return None
         path = self._checkpoint_path()
         try:
@@ -353,12 +360,26 @@ class ValidationEngine:
             [tuple(r) + (wall,) for r in rows], schema
         )
         if self.checkpoint_format == "iceberg":
-            from .sources.iceberg import merge_checkpoint, read_table
-
-            merge_checkpoint(spark, self.checkpoint_table, stamped)
-            return read_table(spark, self.checkpoint_table, fmt="iceberg").filter(
-                F.col("run_id") == run_id
+            from .sources.iceberg import (
+                iceberg_available,
+                merge_checkpoint,
+                merge_checkpoint_emulated,
+                read_table,
             )
+
+            if iceberg_available(spark):
+                merge_checkpoint(spark, self.checkpoint_table, stamped)
+                return read_table(
+                    spark, self.checkpoint_table, fmt="iceberg"
+                ).filter(F.col("run_id") == run_id)
+            # jars absent: EXECUTE the same MERGE semantics (matched ->
+            # update, not-matched -> insert, keyed by part_id; one row
+            # per partition, last run wins) on the parquet fallback
+            # layout, instead of leaving the contract as SQL text only
+            merged = merge_checkpoint_emulated(
+                spark, self._checkpoint_path(), stamped
+            )
+            return merged.filter(F.col("run_id") == run_id)
         stamped.write.mode("append").parquet(self._checkpoint_path())
         return spark.read.parquet(self._checkpoint_path()).filter(
             F.col("run_id") == run_id

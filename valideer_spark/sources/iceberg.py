@@ -8,7 +8,12 @@ container ships no Iceberg jars, so every entry point:
 * detects availability at runtime (:func:`iceberg_available`) instead of
   import-failing, and
 * degrades to the parquet layout used everywhere else in the repo, keeping
-  the API (and the generated SQL, which IS unit-tested) identical.
+  the API (and the generated SQL, which IS unit-tested) identical — and,
+  since round 4, the MERGE semantics themselves stay EXECUTABLE:
+  :func:`merge_checkpoint_emulated` performs the same keyed upsert on the
+  parquet layout, so ``ValidationEngine(checkpoint_format='iceberg')``
+  runs end-to-end (one row per partition, last run wins) with or without
+  the jars (tests/test_merge_emulation.py).
 
 On a real cluster, enable with the standard session configs::
 
@@ -103,3 +108,49 @@ def merge_checkpoint(
     view = "checkpoint_merge_source"
     verdicts.createOrReplaceTempView(view)
     spark.sql(checkpoint_merge_sql(target, view, key_cols, update_cols))
+
+
+def merge_checkpoint_emulated(
+    spark: SparkSession,
+    path: str,
+    verdicts: DataFrame,
+    key_cols: Sequence[str] = ("part_id",),
+) -> DataFrame:
+    """EXECUTE ``MERGE INTO`` semantics on a parquet directory — the
+    sandbox twin of :func:`merge_checkpoint`, byte-equivalent to the SQL
+    :func:`checkpoint_merge_sql` generates: WHEN MATCHED (same
+    ``key_cols``) the stored row is replaced by the incoming one, WHEN
+    NOT MATCHED it is inserted; untouched keys survive. Returns the
+    merged table as a DataFrame.
+
+    The checkpoint is driver-bounded BY DESIGN (one row per engine
+    bucket, <= a few hundred), so both sides materialize on the driver
+    and the directory is rewritten in one overwrite — the same
+    single-writer assumption the engine's append path already makes.
+    Idempotent: re-merging the same source is a no-op."""
+    import os
+
+    fields = verdicts.schema.fields
+    names = [f.name for f in fields]
+
+    def as_tuple(row):
+        return tuple(row[n] for n in names)
+
+    new_rows = [as_tuple(r) for r in verdicts.collect()]
+    new_keys = {tuple(r[names.index(k)] for k in key_cols) for r in new_rows}
+    kept = []
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        stored = spark.read.parquet(path)
+        if set(stored.columns) != set(names):
+            raise ValueError(
+                "checkpoint schema drift: stored columns %s vs incoming %s"
+                % (sorted(stored.columns), sorted(names))
+            )
+        kept = [
+            as_tuple(r)
+            for r in stored.collect()
+            if tuple(r[k] for k in key_cols) not in new_keys
+        ]
+    merged = spark.createDataFrame(kept + new_rows, verdicts.schema)
+    merged.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
