@@ -354,3 +354,30 @@ def test_dim_param_skips_probe_job(spark, monkeypatch):
     monkeypatch.undo()
     # Fallback still works without dim.
     assert sim.cosine_near_dup_pairs(df, threshold=1.5).count() == 0
+
+
+def test_simhash_swar_expected_bits_and_lane_overflow(spark):
+    """SWAR simhash: a doc of exactly two distinct tokens in equal counts
+    has fingerprint bit j set iff BOTH token hashes have bit j
+    (2*ones > n requires both) — checked below AND above the packed-lane
+    capacity (32000 tokens): over-capacity docs fingerprint their
+    32000-token prefix (documented prefix semantics), which for this
+    balanced two-token stream yields the same expected fingerprint."""
+    from valideer_spark.operators.dedup import simhash
+
+    hv = {
+        r["t"]: r["h"]
+        for r in spark.createDataFrame([("a",), ("b",)], ["t"])
+        .select("t", F.xxhash64("t").alias("h"))
+        .collect()
+    }
+    expected = hv["a"] & hv["b"]  # python & is two's-complement-correct
+
+    big_text = " ".join(["a", "b"] * 35000)   # 70k tokens > lane capacity
+    small_text = "a b a b"
+    df = spark.createDataFrame(
+        [(1, big_text), (2, small_text)], ["doc_id", "text"]
+    )
+    out = {r["id"]: r["simhash"] for r in simhash(df).collect()}
+    assert out[2] == expected
+    assert out[1] == expected  # fallback path, same rule
