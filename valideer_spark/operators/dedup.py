@@ -127,15 +127,34 @@ def shingle_hash_frame(
         F.col(id_col).alias("id"),
         F.transform(toks, lambda t: F.xxhash64(t)).alias("_th"),
     )
-    ln = F.greatest(F.size("_th") - F.lit(n - 1), F.lit(0))
-    comb = F.slice("_th", F.lit(1), ln)
+    return staged.select(
+        "id", F.array_distinct(_gram_hashes(F.col("_th"), n)).alias(out_col)
+    )
+
+
+def _token_hashes(text_col: str) -> Column:
+    """xxhash64 per normalized token — the staging column every
+    hash-combined gram operator starts from."""
+    toks = F.split(normalized_text(F.col(text_col)), " ")
+    return F.transform(toks, lambda t: F.xxhash64(t))
+
+
+def _gram_hashes(th: Column, n: int) -> Column:
+    """ORDERED (positional, non-distinct) n-gram hashes over a staged
+    token-hash array: element i is the fold
+    xxhash64(…xxhash64(h_i, h_{i+1})…, h_{i+n-1}) via n aligned slices
+    (zip_with — no strings, whole-stage codegen). ``th`` MUST be a real
+    column, not an inline expression (see :func:`shingle_hash_frame`).
+    Empty-safe: fewer than n tokens → empty array."""
+    ln = F.greatest(F.size(th) - F.lit(n - 1), F.lit(0))
+    comb = F.slice(th, F.lit(1), ln)
     for j in range(1, n):
         comb = F.zip_with(
             comb,
-            F.slice("_th", F.lit(j + 1), ln),
+            F.slice(th, F.lit(j + 1), ln),
             lambda x, y: F.xxhash64(x, y),
         )
-    return staged.select("id", F.array_distinct(comb).alias(out_col))
+    return comb
 
 
 def ngram_jaccard_pairs(
@@ -613,19 +632,15 @@ def winnowing_fingerprints(
     """Winnowing (Schleimer et al.): per sliding window of ``window``
     consecutive k-gram hashes, keep the window minimum — a position-robust
     fingerprint set guaranteed to share hashes with any match of length
-    >= window + kgram - 1. Output: (id, fingerprints array<long>)."""
-    toks = F.split(normalized_text(F.col(text_col)), " ")
-    k = F.size(toks) - (kgram - 1)
-    grams = F.when(k <= 0, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), k - 1),
-            lambda i: F.array_join(F.slice(toks, i + 1, kgram), " "),
-        )
-    )
+    >= window + kgram - 1. Output: (id, fingerprints array<long>).
+
+    k-gram hashes come from the string-free hash-combine path
+    (:func:`_gram_hashes`, positional — winnowing needs gram ORDER, so
+    no distinct): the winnowing guarantee holds for any consistent gram
+    hash, and the hash values are engine-internal."""
     staged = df.select(
-        F.col(id_col).alias("id"),
-        F.transform(grams, lambda g: F.xxhash64(g)).alias("_h"),
-    )
+        F.col(id_col).alias("id"), _token_hashes(text_col).alias("_th")
+    ).select("id", _gram_hashes(F.col("_th"), kgram).alias("_h"))
     n_windows = F.size("_h") - (window - 1)
     window_mins = F.when(
         n_windows <= 0,

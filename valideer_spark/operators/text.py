@@ -18,7 +18,7 @@ from typing import Dict, Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import normalized_text, word_shingles
+from .dedup import normalized_text
 
 STOPWORDS: Dict[str, Sequence[str]] = {
     "en": ["the", "and", "of", "to", "a", "in", "is", "that", "it", "for"],
@@ -122,13 +122,21 @@ def doc_fingerprint(
     k: int = 5,
 ) -> DataFrame:
     """(doc_id, content_hash, min_kgram_hash): exact 64-bit content hash +
-    the minimum k-gram hash (winnowing-style, shift/prefix robust)."""
+    the minimum k-gram hash (winnowing-style, shift/prefix robust).
+
+    k-gram hashes use the string-free hash-combine staging
+    (dedup._gram_hashes); the min over the positional grams equals the
+    min over the distinct set, so no dedup pass is needed."""
+    from .dedup import _gram_hashes, _token_hashes
+
     t = F.col(text_col)
-    grams = word_shingles(t, k)
-    return df.select(
+    staged = df.select(
         F.col(id_col),
         F.xxhash64(normalized_text(t)).alias("content_hash"),
-        F.array_min(F.transform(grams, lambda g: F.xxhash64(g))).alias(
-            "min_kgram_hash"
-        ),
+        _token_hashes(text_col).alias("_th"),
+    )
+    return staged.select(
+        id_col,
+        "content_hash",
+        F.array_min(_gram_hashes(F.col("_th"), k)).alias("min_kgram_hash"),
     )
