@@ -195,3 +195,25 @@ def test_non_total_partition_expr_converges_via_sentinel(spark, tmp_path):
     # identical re-run: everything (sentinel included) is checkpointed
     second = eng.run_with_checkpoint(docs, run_id="r2")
     assert second.count() == 0
+
+
+def test_partition_expr_emitting_reserved_sentinel_raises(spark, tmp_path):
+    """Bucket -1 is RESERVED as the NULL sentinel: a custom
+    partition_expr that legitimately emits -1 would silently merge those
+    rows into the sentinel bucket (and checkpoint them at its
+    granularity), so the engine raises mid-job instead (documented
+    partition_expr contract)."""
+    docs = synth_docs(spark, 50)
+
+    def collides(c):
+        n = F.substring(c, 5, 12).cast("long")
+        return (F.pmod(n, F.lit(4)) - F.lit(1)).cast("int")  # emits -1
+
+    eng = ValidationEngine(
+        doc_schema(),
+        buckets=4,
+        partition_expr=collides,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    with pytest.raises(Exception, match="reserved bucket id -1"):
+        eng.run_with_checkpoint(docs, run_id="r1")

@@ -74,3 +74,44 @@ def test_minhash_candidates_cover_identical_sets(spark, texts):
         for b in range(a + 1, len(texts)):
             if sh[a] and sh[a] == sh[b]:
                 assert (a, b) in cands
+
+
+def test_lsh_max_bucket_star_links_hot_clusters(spark):
+    """max_bucket skew guard: buckets wider than the cap switch from
+    all-pairs to star linking (min id -> member), bounding per-bucket
+    join input while keeping the duplicate cluster one connected
+    component; buckets within the cap are byte-identical to the
+    uncapped run."""
+    from pyspark.sql import functions as F
+
+    from valideer_spark.operators.dedup import minhash_lsh_candidates
+
+    # 30 identical-text docs (the hot cluster) + two normal near-dup pairs
+    hot = [(1000 + j, "aa bb cc dd ee ff gg hh") for j in range(30)]
+    normal = [
+        (1, "the cat sat on the mat today ok"),
+        (2, "the cat sat on the mat today yes"),
+        (3, "apples bananas cherries dates elderberry figs grapes"),
+        (4, "apples bananas cherries dates elderberry figs melons"),
+    ]
+    df = spark.createDataFrame(hot + normal, ["doc_id", "text"])
+
+    uncapped = {
+        (r["a_id"], r["b_id"])
+        for r in minhash_lsh_candidates(df).collect()
+    }
+    capped_rows = minhash_lsh_candidates(df, max_bucket=10).collect()
+    capped = {(r["a_id"], r["b_id"]) for r in capped_rows}
+
+    hot_ids = {h[0] for h in hot}
+    star = {(1000, 1000 + j) for j in range(1, 30)}
+    # hot cluster: exactly the 29 star edges, not the 435 all-pairs
+    assert {p for p in capped if p[0] in hot_ids} == star
+    assert len({p for p in uncapped if p[0] in hot_ids}) == 435
+    # non-hot candidates unharmed: identical pair sets outside the cluster
+    assert {p for p in capped if p[0] not in hot_ids} == {
+        p for p in uncapped if p[0] not in hot_ids
+    }
+    # star edges hit every band (identical signatures)
+    star_hits = {r["n_bands_hit"] for r in capped_rows if r["a_id"] in hot_ids}
+    assert star_hits == {16}

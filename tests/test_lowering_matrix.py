@@ -76,13 +76,13 @@ def test_pattern_named_groups_lower_natively(spark):
     (underscores) still fall back to the kernel."""
     from valideer_spark.plans.lowering import translate_python_regex
 
-    assert translate_python_regex(r"(?P<d>\d+)$") == r"^(?:(?<d>\d+)$)"
+    assert translate_python_regex(r"(?P<d>\d+)$") == r"(?d)^(?:(?<d>\d+)$)"
     assert (
         translate_python_regex(r"(?P<d>\d+)-(?P=d)$")
-        == r"^(?:(?<d>\d+)-\k<d>$)"
+        == r"(?d)^(?:(?<d>\d+)-\k<d>$)"
     )
     # escaped paren before the group is not a group opener
-    assert translate_python_regex(r"\(?P<d") == r"^(?:\(?P<d)"
+    assert translate_python_regex(r"\(?P<d") == r"(?d)^(?:\(?P<d)"
     # Java group names exclude underscores / leading digits → fallback
     assert translate_python_regex(r"(?P<my_g>\d)") is None
     assert translate_python_regex(r"(?P<a>\d)(?P=my_g)") is None
@@ -499,3 +499,35 @@ def test_enum_nan_is_null_convention(spark):
     )
     got = [r["ok"] for r in df.select(node.predicate(F.col("x")).alias("ok")).collect()]
     assert got == [False, True, False, False]  # NaN handled like NULL
+
+
+def test_named_group_rewrite_is_character_class_aware(spark):
+    """Inside an unescaped [...] every char is a Python literal, so a
+    literal '(?P<' sequence there must NOT be rewritten to the Java
+    group spelling (the rewrite would drop the literal 'P' from the
+    class on the native rlike path). The scanner tracks class state,
+    including the ']' -as-first-member literal rule."""
+    from valideer_spark.plans.lowering import translate_python_regex
+
+    # ADVICE case: the whole "(?P<" run is literal class members. The
+    # pattern contains no group construct, so translate passes it through
+    # (Java classes treat ( ? < > as literals identically).
+    assert translate_python_regex(r"[a(?P<b>]") == r"(?d)^(?:[a(?P<b>])"
+    # ...and a REAL group after the class still rewrites
+    assert (
+        translate_python_regex(r"[a(?P<b>](?P<d>\d)")
+        == r"(?d)^(?:[a(?P<b>](?<d>\d))"
+    )
+    # negated class
+    assert translate_python_regex(r"[^(?P=x]") == r"(?d)^(?:[^(?P=x])"
+    # escaped '[' does NOT open a class: group after it rewrites
+    assert translate_python_regex(r"\[(?P<d>\d)") == r"(?d)^(?:\[(?<d>\d))"
+
+    # value-level parity on the ADVICE pattern: 'P' and '<' must match
+    run_case(
+        spark,
+        V.Pattern(r"[a(?P<b>]"),
+        T.StringType(),
+        ["a", "P", "<", ">", "b", "z", "?", None],
+        check_messages=True,
+    )

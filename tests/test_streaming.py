@@ -193,3 +193,107 @@ def test_stateful_dedup_stream_numeric_tiebreak(spark, tmp_path):
     out = spark.read.parquet(out_dir)
     assert dict(out.dtypes)["doc_id"] == "bigint"
     assert {r["doc_id"] for r in out.collect()} == {669, 7}
+
+
+def test_dedup_stream_ttl_bounds_state(spark, tmp_path):
+    """ttl= evicts keys idle past the TTL (processing-time timeout,
+    refreshed per sighting), so the state store stays bounded under a
+    replay of disjoint keys per batch — the unbounded-stream safety
+    valve. A no-TTL control run over the same replay retains every key.
+    State row counts are read directly from the checkpoint with the
+    statestore reader (applyInPandasWithState does not populate
+    numRowsTotal in progress events). Documented trade-off also
+    asserted: a duplicate arriving after its key was evicted re-emits.
+
+    noDataMicroBatches is disabled for speed: with it on, every
+    availableNow run spins ~TTL worth of empty batches until even the
+    current batch's keys evict (verified once — 525s); with it off,
+    expired keys are evicted by the NEXT data batch, which is both fast
+    and the assertion that matters (state never exceeds live keys +
+    one batch)."""
+    import time
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+
+    saved = {
+        "spark.sql.streaming.noDataMicroBatches.enabled": spark.conf.get(
+            "spark.sql.streaming.noDataMicroBatches.enabled"
+        ),
+        "spark.sql.shuffle.partitions": spark.conf.get(
+            "spark.sql.shuffle.partitions"
+        ),
+    }
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+
+    try:
+        def mk(name, ttl):
+            input_dir = str(tmp_path / (name + "_in"))
+            out_dir = str(tmp_path / (name + "_out"))
+            ckpt = str(tmp_path / (name + "_ckpt"))
+            os.makedirs(input_dir)
+
+            def drop(rows):
+                spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                    "append"
+                ).parquet(input_dir)
+
+            def run_available():
+                from valideer_spark.streaming import dedup_stream
+
+                stream = spark.readStream.schema(schema).parquet(input_dir)
+                q = (
+                    dedup_stream(stream, ttl=ttl)
+                    .writeStream.format("parquet")
+                    .option("path", out_dir)
+                    .option("checkpointLocation", ckpt)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination(120)
+                state_rows = spark.read.format("statestore").load(ckpt).count()
+                return spark.read.parquet(out_dir), state_rows
+
+            return drop, run_available
+
+        # identical three-batch disjoint-key replay, with and without TTL
+        batches = [
+            [("a1", "alpha one"), ("a2", "alpha two")],
+            [("b1", "beta one"), ("b2", "beta two")],
+            [("c1", "gamma one"), ("c2", "gamma one")],  # in-batch duplicate
+        ]
+        drop_ttl, run_ttl = mk("ttl", "1 second")
+        drop_ctl, run_ctl = mk("ctl", None)
+
+        for rows in batches:
+            drop_ttl(rows)
+            out_t, n_state_ttl = run_ttl()
+            drop_ctl(rows)
+            out_c, n_state_ctl = run_ctl()
+            time.sleep(1.5)  # > TTL of idleness before the next batch
+
+        # both variants dedup identically (c2 is an in-batch duplicate of c1)
+        expected = {"a1", "a2", "b1", "b2", "c1"}
+        assert {r["doc_id"] for r in out_t.collect()} == expected
+        assert {r["doc_id"] for r in out_c.collect()} == expected
+
+        # control retains every distinct key forever; TTL keeps state bounded:
+        # each data batch evicts the prior batches' expired keys, so state
+        # never exceeds the current batch's keys
+        assert n_state_ctl == 5
+        assert n_state_ttl <= 2
+
+        # post-eviction duplicate re-emits (the documented TTL trade-off)
+        drop_ttl([("a9", "alpha one")])  # same content as a1, key evicted
+        out4, _ = run_ttl()
+        assert "a9" in {r["doc_id"] for r in out4.collect()}
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

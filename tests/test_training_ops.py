@@ -380,4 +380,119 @@ def test_simhash_swar_expected_bits_and_lane_overflow(spark):
     )
     out = {r["id"]: r["simhash"] for r in simhash(df).collect()}
     assert out[2] == expected
-    assert out[1] == expected  # fallback path, same rule
+    assert out[1] == expected  # truncated 32000-token-prefix path, same rule
+
+
+def _make_bmp(width, height, pixel_fn, top_down=False):
+    """Hand-build a 24-bit uncompressed BMP (BITMAPINFOHEADER) —
+    pixel_fn(x, y) -> (b, g, r) with y=0 the TOP row."""
+    import struct
+
+    stride = (width * 3 + 3) & ~3
+    rows = []
+    for y in range(height):
+        row = bytearray(stride)
+        for x in range(width):
+            row[x * 3 : x * 3 + 3] = bytes(pixel_fn(x, y))
+        rows.append(bytes(row))
+    if not top_down:
+        rows = list(reversed(rows))  # bottom-up storage
+    data = b"".join(rows)
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + len(data), 0, 0, off)
+    header += struct.pack(
+        "<IiiHHIIiiII",
+        40, width, -height if top_down else height,
+        1, 24, 0, len(data), 2835, 2835, 0, 0,
+    )
+    return header + data
+
+
+def _make_wav(n_samples, sample_rate=8000, channels=1, bits=16):
+    import struct
+
+    byte_rate = sample_rate * channels * bits // 8
+    data = bytes(n_samples * channels * bits // 8)
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, byte_rate,
+        channels * bits // 8, bits,
+    )
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_real_bmp_wav_codecs_decode_real_bytes(spark):
+    """Round-5 real-codec branch: hand-built uncompressed BMP and PCM
+    WAV payloads decode to their TRUE dimensions/duration — under
+    decode_stub='raise' (real formats need no external codec), so this
+    is decoding, not the fake path."""
+    from valideer_spark.operators.multimodal import (
+        resize_bmp_nearest,
+        try_decode_bmp,
+        try_decode_wav,
+    )
+
+    bmp = _make_bmp(5, 3, lambda x, y: (x * 10, y * 20, 200))
+    wav = _make_wav(n_samples=2000, sample_rate=8000)  # 250 ms
+    df = spark.createDataFrame(
+        [("m-bmp", "image", bytearray(bmp)), ("m-wav", "audio", bytearray(wav))],
+        "media_ref string, media_kind string, payload binary",
+    )
+    rows = {
+        r["media_ref"]: r
+        for r in extract_media_metadata(df, decode_stub="raise").collect()
+    }
+    assert (rows["m-bmp"]["width"], rows["m-bmp"]["height"]) == (5, 3)
+    assert rows["m-bmp"]["duration_ms"] == 0
+    assert rows["m-wav"]["duration_ms"] == 250
+    assert (rows["m-wav"]["width"], rows["m-wav"]["height"]) == (0, 0)
+
+    # non-BMP/WAV under 'raise' still raises (compressed codecs absent)
+    import pytest as _pytest
+
+    bad = spark.createDataFrame(
+        [("m-jpg", "image", bytearray(b"\xff\xd8\xff\xe0 not a real jpeg"))],
+        "media_ref string, media_kind string, payload binary",
+    )
+    with _pytest.raises(Exception, match="NotImplementedError|not an uncompressed"):
+        extract_media_metadata(bad, decode_stub="raise").collect()
+
+    # driver-side parser sanity: negative height = top-down row order
+    td = _make_bmp(4, 2, lambda x, y: (x, y, 0), top_down=True)
+    assert try_decode_bmp(td)[:2] == (4, 2)
+    assert try_decode_wav(b"RIFFxxxxWAVE") is None
+    assert resize_bmp_nearest(b"not a bmp", 2, 2) is None
+
+
+def test_real_bmp_resize_is_true_nearest_neighbor(spark):
+    """resize_images on a 24-bit BMP emits VALID BMP bytes whose pixels
+    are the nearest-neighbor sample of the source — verified pixel by
+    pixel with an independent decode of the output payload."""
+    from valideer_spark.operators.multimodal import (
+        resize_images,
+        try_decode_bmp,
+    )
+
+    # 4x2 source, distinct pixel per cell ((b,g,r) = (x, y, x+y))
+    src_px = lambda x, y: (40 * x, 100 * y, 10 * x + y)
+    bmp = _make_bmp(4, 2, src_px)
+    df = spark.createDataFrame(
+        [("m-1", "image", bytearray(bmp)), ("m-2", "audio", bytearray(b"pass"))],
+        "media_ref string, media_kind string, payload binary",
+    )
+    out = {
+        r["media_ref"]: r for r in resize_images(df, 2, 1).collect()
+    }
+    payload = bytes(out["m-1"]["payload"])
+    info = try_decode_bmp(payload)
+    assert info is not None and info[:2] == (2, 1)
+    # decode output pixels (bottom-up storage, stride-padded)
+    stride = (2 * 3 + 3) & ~3
+    off = info[3]
+    row = payload[off : off + stride]  # single row (y=0 top == bottom)
+    got = [tuple(row[x * 3 : x * 3 + 3]) for x in range(2)]
+    # nearest neighbor: out x=0 -> src x=0, out x=1 -> src x=2; y=0 -> src y=0
+    assert got == [src_px(0, 0), src_px(2, 0)]
+    # non-image rows pass through
+    assert bytes(out["m-2"]["payload"]) == b"pass"

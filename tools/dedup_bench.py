@@ -1,0 +1,190 @@
+"""Dedup-at-scale benchmark: linearity + skew stress for the LSH path.
+
+Reusable form of the round-3/4 ad-hoc measurements (BENCH.md):
+
+* ``--docs N`` corpus: N synthetic docs (60 pseudo-words from a 50k
+  vocabulary, xxhash64-derived — no Python string loops), plus
+  ``--dup-fraction`` seeded exact duplicates (ids +10^9) whose recall the
+  verify stage must reproduce exactly.
+* ``--hot H`` adds one pathological cluster: H docs with IDENTICAL text
+  and a hot id prefix — every band bucket of the cluster is H wide, the
+  adversarial input for banded LSH. With ``--max-bucket`` the candidates
+  stage star-links those buckets (bounded); without it the cluster
+  explodes quadratically (only run uncapped with small H).
+
+Stages are forced-evaluated separately (noop count over a
+fully-evaluated projection) so per-stage attribution is honest; the e2e
+number is a single cold pass. ALWAYS qualify the window with
+``python tools/dram_probe.py 4`` first (shared-host bandwidth varies).
+
+Usage:
+  python tools/dedup_bench.py --docs 1100000
+  python tools/dedup_bench.py --docs 5500000 --cpus 32
+  python tools/dedup_bench.py --docs 1000000 --hot 50000 --max-bucket 64
+  python tools/dedup_bench.py --docs 1000000 --hot 2000   # uncapped control
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+VOCAB = 50_000
+WORDS_PER_DOC = 60
+HOT_BASE = 2_000_000_000
+DUP_BASE = 1_000_000_000
+HOT_TEXT = " ".join("hotword%d" % i for i in range(WORDS_PER_DOC))
+
+
+def build_corpus(
+    spark: SparkSession, n_docs: int, dup_fraction: float, hot: int
+) -> DataFrame:
+    """(doc_id long, text) — base docs + seeded exact dups + hot cluster.
+    Text is derived per doc from xxhash64(doc_id, position) % VOCAB, all
+    JVM-side (zero Python in corpus generation)."""
+    base = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(WORDS_PER_DOC)),
+                lambda j: F.concat(
+                    F.lit("w"),
+                    F.pmod(F.xxhash64(F.col("id"), j), F.lit(VOCAB)).cast("string"),
+                ),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    n_dupes = int(n_docs * dup_fraction)
+    dupes = base.filter(F.col("doc_id") < n_dupes).select(
+        (F.col("doc_id") + DUP_BASE).alias("doc_id"), "text"
+    )
+    corpus = base.unionAll(dupes)
+    if hot > 0:
+        hot_df = spark.range(hot).select(
+            (F.col("id") + HOT_BASE).alias("doc_id"),
+            F.lit(HOT_TEXT).alias("text"),
+        )
+        corpus = corpus.unionAll(hot_df)
+    return corpus
+
+
+def force(df: DataFrame, cols) -> int:
+    """Force FULL evaluation of the listed array/scalar columns (memory
+    gotcha: element_at probes get pruned by Catalyst — xor-fold instead)."""
+    aggs = []
+    for c, kind in cols:
+        if kind == "arr":
+            aggs.append(
+                F.max(F.aggregate(F.col(c), F.lit(0).cast("long"),
+                                  lambda a, x: a.bitwiseXOR(x)))
+            )
+        else:
+            aggs.append(F.max(F.col(c)))
+    return df.agg(*aggs).collect()[0][0]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=1_000_000)
+    ap.add_argument("--dup-fraction", type=float, default=0.1)
+    ap.add_argument("--hot", type=int, default=0)
+    ap.add_argument("--max-bucket", type=int, default=None)
+    ap.add_argument("--num-hashes", type=int, default=64)
+    ap.add_argument("--bands", type=int, default=16)
+    ap.add_argument("--cpus", type=int, default=32)
+    ap.add_argument("--stages", action="store_true",
+                    help="also time each stage separately (extra passes)")
+    args = ap.parse_args()
+
+    spark = (
+        SparkSession.builder.master(f"local[{args.cpus}]")
+        .config("spark.driver.memory", "100g")
+        .config("spark.sql.shuffle.partitions", str(max(32, args.cpus)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from valideer_spark.operators.dedup import (
+        jaccard_verify_candidates,
+        minhash_lsh_candidates,
+        minhash_signatures,
+        shingle_hash_frame,
+    )
+
+    corpus = build_corpus(spark, args.docs, args.dup_fraction, args.hot)
+    corpus = corpus.persist()
+    n_total = corpus.count()  # materialize outside the timed region
+    out = {
+        "docs": args.docs, "n_total": n_total, "hot": args.hot,
+        "max_bucket": args.max_bucket, "num_hashes": args.num_hashes,
+        "bands": args.bands, "cpus": args.cpus,
+    }
+
+    if args.stages:
+        t0 = time.time()
+        force(shingle_hash_frame(corpus, "text", "doc_id", 3), [("sh", "arr")])
+        out["stage_shingle_hashes_s"] = round(time.time() - t0, 1)
+
+        t0 = time.time()
+        force(
+            minhash_signatures(corpus, "text", "doc_id", args.num_hashes),
+            [("signature", "arr")],
+        )
+        out["stage_signatures_s"] = round(time.time() - t0, 1)
+
+        t0 = time.time()
+        cand = minhash_lsh_candidates(
+            corpus, "text", "doc_id",
+            num_hashes=args.num_hashes, bands=args.bands,
+            max_bucket=args.max_bucket,
+        )
+        out["n_candidates"] = cand.count()
+        out["stage_candidates_s"] = round(time.time() - t0, 1)
+
+    # end-to-end cold pass (the headline number)
+    t0 = time.time()
+    cand = minhash_lsh_candidates(
+        corpus, "text", "doc_id",
+        num_hashes=args.num_hashes, bands=args.bands,
+        max_bucket=args.max_bucket,
+    )
+    verified = jaccard_verify_candidates(
+        corpus, cand, "text", "doc_id", 3, threshold_num=1, threshold_den=1
+    )
+    n_seed = int(args.docs * args.dup_fraction)
+    agg = verified.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(
+            (
+                (F.col("b_id") - F.col("a_id") == DUP_BASE)
+                & (F.col("a_id") < n_seed)
+            ).cast("long")
+        ).alias("n_seed_found"),
+    ).collect()[0]
+    wall = time.time() - t0
+    out["e2e_s"] = round(wall, 1)
+    out["docs_per_sec"] = round(n_total / wall, 1)
+    out["n_verified_pairs"] = agg["n_pairs"]
+    out["seed_recall"] = round((agg["n_seed_found"] or 0) / max(1, n_seed), 6)
+    if args.hot > 0:
+        hot_pairs = verified.filter(F.col("a_id") >= HOT_BASE).count()
+        out["hot_pairs"] = hot_pairs
+        out["hot_expected"] = (
+            args.hot - 1 if args.max_bucket else args.hot * (args.hot - 1) // 2
+        )
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

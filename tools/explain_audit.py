@@ -97,6 +97,17 @@ def main() -> None:
          cosine_near_dup_pairs(embs, threshold=0.999, max_bucket=100))
     )
 
+    # round 5: skew-guarded LSH candidates — one bucket-stats agg on the
+    # SAME key as the self-join (exchange reused), wide buckets demoted
+    # to star linking, narrow buckets keep exact all-pairs semantics
+    sections.append(
+        ("Skew-guarded MinHash LSH candidates (max_bucket: bucket-stats agg"
+         " shares the join's hash key; hot buckets emit k-1 star edges"
+         " instead of k(k-1)/2 pairs — per-task join input bounded by"
+         " construction)",
+         minhash_lsh_candidates(documents, max_bucket=50))
+    )
+
     # round 3: caller-supplied partition_expr (externally-computable
     # bucketing) must produce the SAME single-scan partial+final agg plan
     # as the xxhash64 default — only the bucket expression changes

@@ -198,11 +198,23 @@ class ValidationEngine:
         checkpoint_format: str = "parquet",
         checkpoint_table: Optional[str] = None,
         partition_expr=None,
+        checkpoint_snapshots: int = 0,
     ):
         """``checkpoint_format='iceberg'`` maintains the checkpoint with
         ``MERGE INTO checkpoint_table`` (idempotent per partition key) —
         requires the Iceberg runtime; the parquet default appends under
-        ``checkpoint_dir`` (the sandbox layout)."""
+        ``checkpoint_dir`` (the sandbox layout).
+
+        ``partition_expr`` contract: bucket id ``-1`` is RESERVED as the
+        engine's NULL sentinel — ids the expression maps to NULL are
+        coalesced into bucket -1 so the checkpoint converges for them. A
+        custom expression must therefore never legitimately emit -1 (those
+        rows would silently share the sentinel bucket's checkpoint
+        granularity); emitting -1 raises at check time.
+
+        ``checkpoint_snapshots=N`` (jarless Iceberg emulation only)
+        retains the last N merged checkpoint states as numbered snapshot
+        dirs readable via ``read_table(..., version=k)``."""
         self.schema = schema
         self.id_col = id_col
         self.buckets = buckets
@@ -216,6 +228,7 @@ class ValidationEngine:
         self.checkpoint_dir = checkpoint_dir
         self.checkpoint_format = checkpoint_format
         self.checkpoint_table = checkpoint_table
+        self.checkpoint_snapshots = checkpoint_snapshots
         self._plan: Optional[FramePlan] = None
         self._plan_schema: Optional[str] = None
 
@@ -238,10 +251,21 @@ class ValidationEngine:
             # NULL bucket ids would never match the checkpoint anti-join
             # and those rows would be revalidated — and their verdict rows
             # re-appended — on every resume. Coalesce NULLs to a sentinel
-            # bucket (-1) so the checkpoint converges for them too.
-            part = F.coalesce(
-                self.partition_expr(F.col(self.id_col)), F.lit(-1)
-            )
+            # bucket (-1) so the checkpoint converges for them too. The
+            # sentinel is a RESERVED value (see __init__ docstring): a
+            # custom expression legitimately emitting -1 would silently
+            # alias real rows onto the NULL bucket, so that case raises
+            # mid-job instead.
+            raw = self.partition_expr(F.col(self.id_col))
+            part = F.when(
+                raw == F.lit(-1),
+                F.raise_error(
+                    F.lit(
+                        "partition_expr emitted reserved bucket id -1 "
+                        "(the engine's NULL sentinel); remap your buckets"
+                    )
+                ).cast("long"),
+            ).otherwise(F.coalesce(raw, F.lit(-1)))
         else:
             part = deterministic_partition_id(F.col(self.id_col), self.buckets)
         annotated = plan.check(df, adapt=adapt, violations=True).withColumn(
@@ -377,7 +401,10 @@ class ValidationEngine:
             # per partition, last run wins) on the parquet fallback
             # layout, instead of leaving the contract as SQL text only
             merged = merge_checkpoint_emulated(
-                spark, self._checkpoint_path(), stamped
+                spark,
+                self._checkpoint_path(),
+                stamped,
+                keep_snapshots=self.checkpoint_snapshots,
             )
             return merged.filter(F.col("run_id") == run_id)
         stamped.write.mode("append").parquet(self._checkpoint_path())

@@ -419,11 +419,26 @@ def minhash_lsh_candidates(
     bands: int = 16,
     shingle_n: int = 3,
     seed: int = 42,
+    max_bucket: Optional[int] = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs (a_id, b_id, n_bands_hit) via banded
     MinHash LSH: docs agreeing on any full band land in one bucket.
     See :data:`MINHASH_PRESETS` for measured (num_hashes, bands) presets
-    and their recall curves."""
+    and their recall curves.
+
+    ``max_bucket`` is the skew guard for pathological corpora (a boiler-
+    plate cluster of k near-identical docs makes EVERY one of its band
+    buckets k members wide — the all-pairs self-join then emits O(k^2)
+    rows per band, the one quadratic blow-up in the pipeline). Buckets
+    wider than the cap switch from all-pairs to STAR linking: each
+    member pairs with the bucket's minimum id only, emitting k-1 edges
+    instead of k(k-1)/2 while keeping every member reachable from the
+    representative — duplicate CLUSTERS (connected components) are
+    preserved exactly, which is what dedup consumes; only redundant
+    intra-cluster pairs are dropped. Buckets within the cap keep exact
+    all-pairs semantics, so well-behaved corpora are byte-identical
+    with or without the guard. Per-task join input is then bounded by
+    ``max_bucket`` rows per bucket by construction."""
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, seed)
@@ -446,16 +461,35 @@ def minhash_lsh_candidates(
         ]
     )
     buckets = sigs.select("id", F.explode(band_cols).alias("bucket"))
-    a = buckets.alias("a")
-    b = buckets.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
+    if max_bucket is not None:
+        # one extra agg on the SAME key as the join (exchange reused);
+        # _rep = min id doubles as the star-link representative
+        stats = buckets.groupBy("bucket").agg(
+            F.count(F.lit(1)).alias("_n"), F.min("id").alias("_rep")
         )
-        .groupBy(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
-        .agg(F.count(F.lit(1)).alias("n_bands_hit"))
+        annotated = buckets.join(stats, "bucket")
+        narrow = annotated.filter(F.col("_n") <= max_bucket).select("id", "bucket")
+        star = (
+            annotated.filter(
+                (F.col("_n") > max_bucket) & (F.col("id") != F.col("_rep"))
+            )
+            # rep = min(id) => rep < id, preserving the a_id < b_id contract
+            .select(F.col("_rep").alias("a_id"), F.col("id").alias("b_id"))
+        )
+    else:
+        narrow = buckets
+        star = None
+    a = narrow.alias("a")
+    b = narrow.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.id") < F.col("b.id")),
+    ).select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+    if star is not None:
+        pairs = pairs.unionAll(star)
+    return pairs.groupBy("a_id", "b_id").agg(
+        F.count(F.lit(1)).alias("n_bands_hit")
     )
 
 
@@ -471,8 +505,11 @@ def simhash(
 ) -> DataFrame:
     """(id, simhash long): fingerprint bit j is set iff more than half of
     the token hashes have bit j set (the classic sign-of-tally rule —
-    ``2*ones_j > n_tokens`` ⟺ ``sum(±1) > 0``; identical outputs to the
-    pre-r4 vector formulation, asserted bit-equal on 1M docs).
+    ``2*ones_j > n_tokens`` ⟺ ``sum(±1) > 0``; for docs within
+    ``_SWAR_MAX_TOKENS`` identical outputs to the pre-r4 vector
+    formulation, asserted bit-equal on 1M docs — docs beyond the cap
+    fingerprint their prefix, a deliberate behavior change from the
+    pre-r4 full-length tally).
 
     SWAR formulation (round 4, ~2.4x at 1M docs): instead of building a
     ``bits``-wide ±1 vector per token (~2*bits interpreted ops/token),

@@ -323,17 +323,39 @@ def _rewrite_named_groups(pattern: str) -> Optional[str]:
     ``(?P<name>…)`` → ``(?<name>…)`` and ``(?P=name)`` → ``\\k<name>``.
 
     Escape-aware: a ``(`` preceded by an odd number of backslashes is a
-    literal paren, not a group opener. Returns None when a group name is
-    not a valid Java name (Java allows only ``[a-zA-Z][a-zA-Z0-9]*``;
-    Python also allows underscores and leading ``_``) — the caller then
-    falls back to the kernel."""
+    literal paren, not a group opener. Character-class-aware: inside an
+    unescaped ``[...]`` every char is a literal in Python (e.g.
+    ``[a(?P<b>]`` matches any of those chars), so ``(?P`` sequences
+    there are copied verbatim, not rewritten (a rewrite would drop the
+    literal ``P`` from the class on the native rlike path). Returns None
+    when a group name is not a valid Java name (Java allows only
+    ``[a-zA-Z][a-zA-Z0-9]*``; Python also allows underscores and leading
+    ``_``) — the caller then falls back to the kernel."""
     out = []
     i, n = 0, len(pattern)
+    in_class = False
+    class_open_i = -1  # index of the unescaped '[' that opened the class
     while i < n:
         c = pattern[i]
         if c == "\\" and i + 1 < n:
             out.append(pattern[i : i + 2])
             i += 2
+            continue
+        if in_class:
+            # ']' immediately after '[' or '[^' is a literal member
+            literal_rbracket = i == class_open_i + 1 or (
+                pattern[class_open_i + 1] == "^" and i == class_open_i + 2
+            )
+            if c == "]" and not literal_rbracket:
+                in_class = False
+            out.append(c)
+            i += 1
+            continue
+        if c == "[":
+            in_class = True
+            class_open_i = i
+            out.append(c)
+            i += 1
             continue
         if pattern.startswith("(?P<", i):
             end = pattern.find(">", i + 4)
@@ -360,6 +382,53 @@ def _rewrite_named_groups(pattern: str) -> Optional[str]:
     return "".join(out)
 
 
+def _normalize_classes(pattern: str) -> str:
+    """Escape the characters that are literals inside a Python character
+    class but syntax inside a Java one (deltas found by the dialect
+    property test, tests/test_regex_dialect.py):
+
+    * ``]`` as the first member (``[]a]`` / ``[^]a]``) — legal literal in
+      Python, unclosed-class error in Java → ``\\]``;
+    * bare ``[`` — literal in Python, nested-class opener in Java → ``\\[``;
+    * ``&`` — literal in Python, half of Java's ``&&`` intersection
+      operator → ``\\&`` (escaping single ``&`` is harmless and makes
+      ``&&`` safe).
+
+    Escape-aware scan; text outside classes is returned untouched."""
+    out = []
+    i, n = 0, len(pattern)
+    in_class = False
+    class_open_i = -1
+    while i < n:
+        c = pattern[i]
+        if c == "\\" and i + 1 < n:
+            out.append(pattern[i : i + 2])
+            i += 2
+            continue
+        if in_class:
+            literal_rbracket = i == class_open_i + 1 or (
+                pattern[class_open_i + 1] == "^" and i == class_open_i + 2
+            )
+            if c == "]" and not literal_rbracket:
+                in_class = False
+                out.append(c)
+            elif c in "][&":
+                out.append("\\" + c)
+            else:
+                out.append(c)
+            i += 1
+            continue
+        if c == "[":
+            in_class = True
+            class_open_i = i
+            out.append(c)
+            i += 1
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
 def translate_python_regex(pattern: str) -> Optional[str]:
     """Translate a Python ``re`` pattern for Java ``rlike``, anchored at the
     start only (``re.match`` semantics). Named groups and backrefs are
@@ -373,9 +442,14 @@ def translate_python_regex(pattern: str) -> Optional[str]:
         if rewritten is None:
             return None
         pattern = rewritten
+    pattern = _normalize_classes(pattern)
     # Python \Z (absolute end) == Java \z
     translated = re.sub(r"(?<!\\)\\Z", r"\\z", pattern)
-    return "^(?:" + translated + ")"
+    # (?d) = UNIX_LINES: shrink Java's line-terminator set (LF, CR, CRLF,
+    # U+0085, U+2028, U+2029) to LF alone for '.', '^' and '$', matching
+    # CPython's LF-only rule — found by the dialect property test on
+    # subject "a<CR>" vs pattern "a$" (tests/test_regex_dialect.py)
+    return "(?d)^(?:" + translated + ")"
 
 
 # ---------------------------------------------------------------------------

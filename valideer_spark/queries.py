@@ -213,12 +213,40 @@ FROM verdicts GROUP BY part_id ORDER BY part_id
 """
 
 
-def q_docs_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return duplicate_keys(_docs(spark), "doc_id", salt=8).orderBy("doc_id")
+def q_uniqueness_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase uniqueness over BOTH key shapes in one gate
+    (merged docs_uniqueness + orders_uniqueness, r5): the synthetic docs
+    frame's string key and the orders table's numeric key with seeded
+    read-time duplicates (keys divisible by 97 re-appended)."""
+    d = duplicate_keys(_docs(spark), "doc_id", salt=8).select(
+        F.lit("docs").alias("source"),
+        F.col("doc_id").cast("string").alias("key"),
+        "dup_count",
+    )
+    orders = load_table(spark, "orders", sf_dir)
+    with_dupes = orders.select("o_orderkey").unionAll(
+        orders.select("o_orderkey").filter(F.col("o_orderkey") % 97 == 0)
+    )
+    o = duplicate_keys(with_dupes, "o_orderkey", salt=8).select(
+        F.lit("orders").alias("source"),
+        F.col("o_orderkey").cast("string").alias("key"),
+        "dup_count",
+    )
+    return d.unionAll(o).orderBy("source", "key")
 
 
-ORACLE_DOCS_UNIQUENESS = _docs_cte() + """
-SELECT doc_id, count(*) AS dup_count FROM docs GROUP BY doc_id HAVING count(*) >= 2 ORDER BY doc_id
+ORACLE_UNIQUENESS_KEYS = _docs_cte() + """
+, owd AS (
+  SELECT o_orderkey FROM orders
+  UNION ALL
+  SELECT o_orderkey FROM orders WHERE o_orderkey % 97 = 0
+)
+SELECT 'docs' AS source, doc_id AS key, count(*) AS dup_count
+FROM docs GROUP BY doc_id HAVING count(*) >= 2
+UNION ALL
+SELECT 'orders' AS source, CAST(o_orderkey AS VARCHAR) AS key, count(*) AS dup_count
+FROM owd GROUP BY o_orderkey HAVING count(*) >= 2
+ORDER BY source, key
 """
 
 
@@ -326,38 +354,17 @@ GROUP BY l_partkey ORDER BY l_partkey
 """
 
 
-def q_orders_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, "orders", sf_dir)
-    # seeded duplicates at read time: re-append keys divisible by 97
-    with_dupes = orders.select("o_orderkey").unionAll(
-        orders.select("o_orderkey").filter(F.col("o_orderkey") % 97 == 0)
-    )
-    return duplicate_keys(with_dupes, "o_orderkey", salt=8).orderBy("o_orderkey")
-
-
-ORACLE_ORDERS_UNIQUENESS = """
-WITH with_dupes AS (
-  SELECT o_orderkey FROM orders
-  UNION ALL
-  SELECT o_orderkey FROM orders WHERE o_orderkey % 97 = 0
-)
-SELECT o_orderkey, count(*) AS dup_count FROM with_dupes
-GROUP BY o_orderkey HAVING count(*) >= 2 ORDER BY o_orderkey
-"""
-
-
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "flagship_violation_metrics": q_flagship_violation_metrics,
     "flagship_doc_verdicts": q_flagship_doc_verdicts,
     "flagship_partition_verdicts": q_flagship_partition_verdicts,
     "flagship_partition_metrics": q_flagship_partition_metrics,
-    "docs_uniqueness": q_docs_uniqueness,
+    "uniqueness_keys": q_uniqueness_keys,
     "docs_referential_media": q_docs_referential_media,
     "lineitem_profile": q_lineitem_profile,
     "orders_status_enum": q_orders_status_enum,
     "lineitem_quantity_range": q_lineitem_quantity_range,
     "lineitem_part_referential": q_lineitem_part_referential,
-    "orders_uniqueness": q_orders_uniqueness,
 }
 
 ORACLES: Dict[str, str] = {
@@ -365,13 +372,12 @@ ORACLES: Dict[str, str] = {
     "flagship_doc_verdicts": ORACLE_FLAGSHIP_DOC_VERDICTS,
     "flagship_partition_verdicts": ORACLE_FLAGSHIP_PARTITION_VERDICTS,
     "flagship_partition_metrics": ORACLE_FLAGSHIP_PARTITION_METRICS,
-    "docs_uniqueness": ORACLE_DOCS_UNIQUENESS,
+    "uniqueness_keys": ORACLE_UNIQUENESS_KEYS,
     "docs_referential_media": ORACLE_DOCS_REFERENTIAL_MEDIA,
     "lineitem_profile": ORACLE_LINEITEM_PROFILE,
     "orders_status_enum": ORACLE_ORDERS_STATUS_ENUM,
     "lineitem_quantity_range": ORACLE_LINEITEM_QUANTITY_RANGE,
     "lineitem_part_referential": ORACLE_LINEITEM_PART_REFERENTIAL,
-    "orders_uniqueness": ORACLE_ORDERS_UNIQUENESS,
 }
 
 
@@ -600,6 +606,88 @@ FROM pairs p
 JOIN sized sa ON sa.doc_id = p.a_id
 JOIN sized sb ON sb.doc_id = p.b_id
 WHERE p.n_common * 2 >= 1 * (sa.n_sh + sb.n_sh - p.n_common)
+ORDER BY a_id, b_id
+"""
+
+
+# --- LSH skew stress (r5) ---------------------------------------------------
+# one hot cluster: H identical-text docs with a hot id prefix. Identical
+# text => identical signatures => EVERY band bucket of the cluster is H
+# members wide — the adversarial input for banded LSH (all-pairs would
+# emit bands * H*(H-1)/2 join rows). max_bucket switches those buckets to
+# star linking (k-1 edges to the min id), so the oracle can pin the EXACT
+# star shape: a hash match proves the cap engaged AND that the midsim
+# pairs' recall is unharmed by the hot cluster's presence.
+_SKEW_HOT_N = 200
+_SKEW_HOT_BASE = 9000000
+_SKEW_HOT_TEXT = (
+    "skewhot alpha bravo charlie delta echo foxtrot golf hotel india "
+    "juliett kilo"
+)
+_SKEW_MAX_BUCKET = 50
+
+
+def _documents_with_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hot = spark.range(_SKEW_HOT_N).select(
+        (F.lit(_SKEW_HOT_BASE) + F.col("id")).alias("doc_id"),
+        F.lit(_SKEW_HOT_TEXT).alias("text"),
+    )
+    return _documents_with_midsim_dupes(spark, sf_dir).unionAll(hot)
+
+
+def q_lsh_skew_stress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-stress gate for the 100 TB dedup path: the midsim corpus plus
+    a 200-doc identical-text hot cluster, run through strict-0.5 banded
+    LSH with ``max_bucket=50`` and exact-Jaccard verification.
+
+    The oracle pins (a) every exact-Jaccard >= 0.5 pair among the
+    non-pathological corpus — recall unharmed by the hot cluster — and
+    (b) the hot cluster's candidates as EXACTLY the 199 star edges
+    (min id -> member): an uncapped run would emit all 19900 intra-
+    cluster pairs and hash-mismatch, so the match is direct evidence the
+    skew guard engaged while preserving the duplicate cluster as one
+    connected component."""
+    from .operators.dedup import (
+        MINHASH_PRESETS,
+        jaccard_verify_candidates,
+        minhash_lsh_candidates,
+    )
+
+    df = _documents_with_skew(spark, sf_dir)
+    p = MINHASH_PRESETS["strict-0.5"]
+    cand = minhash_lsh_candidates(
+        df, "text", "doc_id",
+        num_hashes=p["num_hashes"], bands=p["bands"],
+        max_bucket=_SKEW_MAX_BUCKET,
+    )
+    return (
+        jaccard_verify_candidates(
+            df, cand, "text", "doc_id", n=3, threshold_num=1, threshold_den=2
+        )
+        .select("a_id", "b_id")
+        .orderBy("a_id", "b_id")
+    )
+
+
+ORACLE_LSH_SKEW_STRESS = f"""
+WITH {_MIDSIM_DOCS_SQL},
+{_JACCARD_SHINGLE_CTES.replace("docs_with_dupes", "jdocs")},
+sized AS (
+  SELECT doc_id, count(*) AS n_sh FROM inv GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_common
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT p.a_id, p.b_id
+FROM pairs p
+JOIN sized sa ON sa.doc_id = p.a_id
+JOIN sized sb ON sb.doc_id = p.b_id
+WHERE p.n_common * 2 >= 1 * (sa.n_sh + sb.n_sh - p.n_common)
+UNION ALL
+SELECT CAST({_SKEW_HOT_BASE} AS BIGINT) AS a_id,
+       CAST({_SKEW_HOT_BASE} + j AS BIGINT) AS b_id
+FROM range(1, {_SKEW_HOT_N}) t(j)
 ORDER BY a_id, b_id
 """
 
@@ -1129,6 +1217,7 @@ QUERIES.update(
     {
         "dedup_exact_documents": q_dedup_exact_documents,
         "jaccard_pairs_documents": q_jaccard_pairs_documents,
+        "lsh_skew_stress": q_lsh_skew_stress,
         "jaccard_pairs_inverted": q_jaccard_pairs_inverted,
         "minhash_verified_pairs": q_minhash_verified_pairs,
         "text_stats_documents": q_text_stats_documents,
@@ -1149,6 +1238,7 @@ ORACLES.update(
     {
         "dedup_exact_documents": ORACLE_DEDUP_EXACT_DOCUMENTS,
         "jaccard_pairs_documents": ORACLE_JACCARD_PAIRS_PRIMARY,
+        "lsh_skew_stress": ORACLE_LSH_SKEW_STRESS,
         "jaccard_pairs_inverted": ORACLE_JACCARD_PAIRS_DOCUMENTS,
         "minhash_verified_pairs": ORACLE_MINHASH_VERIFIED_PAIRS,
         "text_stats_documents": ORACLE_TEXT_STATS_DOCUMENTS,
