@@ -100,14 +100,26 @@ def main() -> None:
     ap.add_argument("--num-hashes", type=int, default=64)
     ap.add_argument("--bands", type=int, default=16)
     ap.add_argument("--cpus", type=int, default=32)
+    ap.add_argument("--shuffle-partitions", type=int, default=None,
+                    help="default: max(32, cpus); raise for large corpora "
+                         "(the banded explode is bands*n rows)")
     ap.add_argument("--stages", action="store_true",
                     help="also time each stage separately (extra passes)")
+    ap.add_argument("--linearity", type=str, default=None,
+                    help="comma-separated doc counts, e.g. 1000000,5000000: "
+                         "run e2e at each size IN ONE JVM (first size is "
+                         "also run once untimed as JIT warm-up), report "
+                         "docs/s per size + scaling ratio — the only "
+                         "protocol that survives shared-host weather")
     args = ap.parse_args()
 
     spark = (
         SparkSession.builder.master(f"local[{args.cpus}]")
         .config("spark.driver.memory", "100g")
-        .config("spark.sql.shuffle.partitions", str(max(32, args.cpus)))
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(args.shuffle_partitions or max(32, args.cpus)),
+        )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
@@ -120,6 +132,57 @@ def main() -> None:
         minhash_signatures,
         shingle_hash_frame,
     )
+
+    def run_e2e(corpus, n_docs):
+        cand = minhash_lsh_candidates(
+            corpus, "text", "doc_id",
+            num_hashes=args.num_hashes, bands=args.bands,
+            max_bucket=args.max_bucket,
+        )
+        verified = jaccard_verify_candidates(
+            corpus, cand, "text", "doc_id", 3, threshold_num=1, threshold_den=1
+        )
+        n_seed = int(n_docs * args.dup_fraction)
+        t0 = time.time()
+        agg = verified.agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(
+                (
+                    (F.col("b_id") - F.col("a_id") == DUP_BASE)
+                    & (F.col("a_id") < n_seed)
+                ).cast("long")
+            ).alias("n_seed_found"),
+        ).collect()[0]
+        return time.time() - t0, agg, n_seed
+
+    if args.linearity:
+        sizes = [int(x) for x in args.linearity.split(",")]
+        results = []
+        for i, n in enumerate(sizes):
+            corpus = build_corpus(spark, n, args.dup_fraction, args.hot)
+            corpus = corpus.persist()
+            n_total = corpus.count()
+            if i == 0:
+                run_e2e(corpus, n)  # JIT/codegen warm-up, untimed
+            wall, agg, n_seed = run_e2e(corpus, n)
+            results.append({
+                "docs": n, "n_total": n_total, "e2e_s": round(wall, 1),
+                "docs_per_sec": round(n_total / wall, 1),
+                "seed_recall": round((agg["n_seed_found"] or 0) / max(1, n_seed), 6),
+            })
+            corpus.unpersist()
+        base_rate = results[0]["docs_per_sec"]
+        print(json.dumps({
+            "mode": "linearity", "cpus": args.cpus,
+            "shuffle_partitions": args.shuffle_partitions or max(32, args.cpus),
+            "num_hashes": args.num_hashes, "bands": args.bands,
+            "sizes": results,
+            "rate_ratio_vs_first": [
+                round(r["docs_per_sec"] / base_rate, 3) for r in results
+            ],
+        }))
+        spark.stop()
+        return
 
     corpus = build_corpus(spark, args.docs, args.dup_fraction, args.hot)
     corpus = corpus.persist()

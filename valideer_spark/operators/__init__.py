@@ -9,6 +9,7 @@ from .stats import (
 from .uniqueness import duplicate_keys
 from .referential import orphan_keys, orphan_rows, salted_orphan_rows
 from .drift import (
+    drift_across_snapshots,
     drift_between_sketch_tables,
     psi_drift,
     quantile_drift,
@@ -57,6 +58,7 @@ __all__ = [
     "tdigest_quantiles",
     "tdigest_sketch_table",
     "drift_between_sketch_tables",
+    "drift_across_snapshots",
     "exact_duplicates",
     "minhash_lsh_candidates",
     "minhash_signatures",
