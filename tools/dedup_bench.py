@@ -40,11 +40,11 @@ VOCAB = 50_000
 WORDS_PER_DOC = 60
 HOT_BASE = 2_000_000_000
 DUP_BASE = 1_000_000_000
-HOT_TEXT = " ".join("hotword%d" % i for i in range(WORDS_PER_DOC))
 
 
 def build_corpus(
-    spark: SparkSession, n_docs: int, dup_fraction: float, hot: int
+    spark: SparkSession, n_docs: int, dup_fraction: float, hot: int,
+    words: int = WORDS_PER_DOC,
 ) -> DataFrame:
     """(doc_id long, text) — base docs + seeded exact dups + hot cluster.
     Text is derived per doc from xxhash64(doc_id, position) % VOCAB, all
@@ -53,7 +53,7 @@ def build_corpus(
         F.col("id").alias("doc_id"),
         F.array_join(
             F.transform(
-                F.sequence(F.lit(1), F.lit(WORDS_PER_DOC)),
+                F.sequence(F.lit(1), F.lit(words)),
                 lambda j: F.concat(
                     F.lit("w"),
                     F.pmod(F.xxhash64(F.col("id"), j), F.lit(VOCAB)).cast("string"),
@@ -70,7 +70,7 @@ def build_corpus(
     if hot > 0:
         hot_df = spark.range(hot).select(
             (F.col("id") + HOT_BASE).alias("doc_id"),
-            F.lit(HOT_TEXT).alias("text"),
+            F.lit(" ".join("hotword%d" % i for i in range(words))).alias("text"),
         )
         corpus = corpus.unionAll(hot_df)
     return corpus
@@ -100,11 +100,20 @@ def main() -> None:
     ap.add_argument("--num-hashes", type=int, default=64)
     ap.add_argument("--bands", type=int, default=16)
     ap.add_argument("--cpus", type=int, default=32)
+    ap.add_argument("--words", type=int, default=WORDS_PER_DOC,
+                    help="words per synthetic doc (doc LENGTH is the "
+                         "universal-vs-oph signature crossover axis)")
+    ap.add_argument("--method", choices=["universal", "oph"],
+                    default="universal")
     ap.add_argument("--shuffle-partitions", type=int, default=None,
                     help="default: max(32, cpus); raise for large corpora "
                          "(the banded explode is bands*n rows)")
     ap.add_argument("--stages", action="store_true",
                     help="also time each stage separately (extra passes)")
+    ap.add_argument("--sig-compare", action="store_true",
+                    help="time universal vs oph SIGNATURE stage in one "
+                         "JVM, alternating rounds (drift-robust), at "
+                         "--docs/--words; reports best-of per method")
     ap.add_argument("--linearity", type=str, default=None,
                     help="comma-separated doc counts, e.g. 1000000,5000000: "
                          "run e2e at each size IN ONE JVM (first size is "
@@ -130,14 +139,16 @@ def main() -> None:
         jaccard_verify_candidates,
         minhash_lsh_candidates,
         minhash_signatures,
+        minhash_signatures_oph,
         shingle_hash_frame,
     )
+    sig_fn = minhash_signatures_oph if args.method == "oph" else minhash_signatures
 
     def run_e2e(corpus, n_docs):
         cand = minhash_lsh_candidates(
             corpus, "text", "doc_id",
             num_hashes=args.num_hashes, bands=args.bands,
-            max_bucket=args.max_bucket,
+            max_bucket=args.max_bucket, method=args.method,
         )
         verified = jaccard_verify_candidates(
             corpus, cand, "text", "doc_id", 3, threshold_num=1, threshold_den=1
@@ -155,11 +166,40 @@ def main() -> None:
         ).collect()[0]
         return time.time() - t0, agg, n_seed
 
+    if args.sig_compare:
+        corpus = build_corpus(
+            spark, args.docs, args.dup_fraction, args.hot, args.words
+        ).persist()
+        n_total = corpus.count()
+        fns = {"universal": minhash_signatures, "oph": minhash_signatures_oph}
+        for fn in fns.values():  # JIT/codegen warm-up, untimed
+            force(fn(corpus, "text", "doc_id", args.num_hashes),
+                  [("signature", "arr")])
+        best: dict = {}
+        for r in range(3):
+            order = list(fns) if r % 2 == 0 else list(reversed(list(fns)))
+            for name in order:
+                t0 = time.time()
+                force(fns[name](corpus, "text", "doc_id", args.num_hashes),
+                      [("signature", "arr")])
+                dt = time.time() - t0
+                best[name] = min(best.get(name, dt), dt)
+        print(json.dumps({
+            "mode": "sig_compare", "docs": args.docs, "n_total": n_total,
+            "words": args.words, "num_hashes": args.num_hashes,
+            "cpus": args.cpus,
+            "universal_s": round(best["universal"], 1),
+            "oph_s": round(best["oph"], 1),
+            "speedup_oph": round(best["universal"] / best["oph"], 2),
+        }))
+        spark.stop()
+        return
+
     if args.linearity:
         sizes = [int(x) for x in args.linearity.split(",")]
         results = []
         for i, n in enumerate(sizes):
-            corpus = build_corpus(spark, n, args.dup_fraction, args.hot)
+            corpus = build_corpus(spark, n, args.dup_fraction, args.hot, args.words)
             corpus = corpus.persist()
             n_total = corpus.count()
             if i == 0:
@@ -174,6 +214,7 @@ def main() -> None:
         base_rate = results[0]["docs_per_sec"]
         print(json.dumps({
             "mode": "linearity", "cpus": args.cpus,
+            "words": args.words, "method": args.method,
             "shuffle_partitions": args.shuffle_partitions or max(32, args.cpus),
             "num_hashes": args.num_hashes, "bands": args.bands,
             "sizes": results,
@@ -184,11 +225,12 @@ def main() -> None:
         spark.stop()
         return
 
-    corpus = build_corpus(spark, args.docs, args.dup_fraction, args.hot)
+    corpus = build_corpus(spark, args.docs, args.dup_fraction, args.hot, args.words)
     corpus = corpus.persist()
     n_total = corpus.count()  # materialize outside the timed region
     out = {
         "docs": args.docs, "n_total": n_total, "hot": args.hot,
+        "words": args.words, "method": args.method,
         "max_bucket": args.max_bucket, "num_hashes": args.num_hashes,
         "bands": args.bands, "cpus": args.cpus,
     }
@@ -200,7 +242,7 @@ def main() -> None:
 
         t0 = time.time()
         force(
-            minhash_signatures(corpus, "text", "doc_id", args.num_hashes),
+            sig_fn(corpus, "text", "doc_id", args.num_hashes),
             [("signature", "arr")],
         )
         out["stage_signatures_s"] = round(time.time() - t0, 1)
@@ -209,7 +251,7 @@ def main() -> None:
         cand = minhash_lsh_candidates(
             corpus, "text", "doc_id",
             num_hashes=args.num_hashes, bands=args.bands,
-            max_bucket=args.max_bucket,
+            max_bucket=args.max_bucket, method=args.method,
         )
         out["n_candidates"] = cand.count()
         out["stage_candidates_s"] = round(time.time() - t0, 1)
@@ -219,7 +261,7 @@ def main() -> None:
     cand = minhash_lsh_candidates(
         corpus, "text", "doc_id",
         num_hashes=args.num_hashes, bands=args.bands,
-        max_bucket=args.max_bucket,
+        max_bucket=args.max_bucket, method=args.method,
     )
     verified = jaccard_verify_candidates(
         corpus, cand, "text", "doc_id", 3, threshold_num=1, threshold_den=1

@@ -21,7 +21,9 @@ import time
 
 N_DOCS = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
 CPU_LIST = [int(x) for x in (sys.argv[2] if len(sys.argv) > 2 else "2,8,32").split(",")]
-ITERS = int(os.environ.get("SCALING_ITERS", "4"))
+# per-JVM timed iterations; total per level = SCALING_ITERS x
+# SCALING_ROUNDS (interleaved), so 2x2 keeps the old best-of-4 budget
+ITERS = int(os.environ.get("SCALING_ITERS", "2"))
 
 PREP_TEMPLATE = r"""
 import sys
@@ -127,8 +129,35 @@ def main() -> None:
     parquet_dir = "/tmp/vsbench_docs_%d" % N_DOCS
     if not os.path.exists(os.path.join(parquet_dir, "_SUCCESS")):
         prepare_input(N_DOCS, parquet_dir)
-    k_rate = kernel_rate()
-    results = {c: run(c, parquet_dir) for c in CPU_LIST}
+    # Interleaved rounds (round 5 protocol hardening): running all
+    # iterations of level A before level B lets shared-host load drift
+    # hit one level asymmetrically and corrupt the RATIO — observed as a
+    # 0.83-measuring pair reading 0.61 while the single-thread kernel
+    # control dropped 34% mid-session. Alternating the level order per
+    # round and taking best-of PER LEVEL across rounds makes the ratio
+    # robust to monotone drift; the kernel control before/after is the
+    # stability gate (>15% drift = do not trust this window's pair).
+    k_before = kernel_rate()
+    rounds = int(os.environ.get("SCALING_ROUNDS", "2"))
+    results: dict = {}
+    for r in range(rounds):
+        order = list(CPU_LIST) if r % 2 == 0 else list(reversed(CPU_LIST))
+        for c in order:
+            res = run(c, parquet_dir)
+            prev = results.get(c)
+            if prev is None:
+                results[c] = res
+            else:
+                for key in ("verdict_secs", "violations_secs"):
+                    prev[key] = min(prev[key], res[key])
+                prev["verdict_docs_per_sec"] = round(
+                    prev["n"] / prev["verdict_secs"]
+                )
+                prev["full_docs_per_sec"] = round(
+                    prev["n"] / (prev["verdict_secs"] + prev["violations_secs"])
+                )
+    results = {c: results[c] for c in CPU_LIST}
+    k_after = kernel_rate()
 
     def eff(lo: int, hi: int, key: str):
         if lo in results and hi in results:
@@ -146,7 +175,11 @@ def main() -> None:
             out[f"efficiency_{lo}_to_{hi}_full"] = eff(
                 lo, hi, "full_docs_per_sec"
             )
-    out["kernel_single_thread_docs_per_sec"] = round(k_rate, 1)
+    out["kernel_single_thread_docs_per_sec"] = round(k_before, 1)
+    out["kernel_after_docs_per_sec"] = round(k_after, 1)
+    drift = abs(k_after - k_before) / max(k_after, k_before)
+    out["kernel_drift"] = round(drift, 3)
+    out["window_stable"] = drift <= 0.15
     print(json.dumps(out, indent=2))
 
 

@@ -59,26 +59,52 @@ def _input_fingerprint(df: DataFrame) -> str:
     return h.hexdigest()
 
 
+def _bucket_aligned(
+    df: DataFrame, buckets: int, files_per_bucket: int, salt_col
+) -> DataFrame:
+    """Align write tasks with storage partitions before a ``partitionBy``
+    write. Without this every upstream task can emit a file into every
+    bucket directory — O(tasks × buckets) small files (measured: 2 sinks
+    × 256 buckets × 32 local tasks made `write_quarantine` 14x slower
+    than its own validation scan, BENCH.md round 5; on a 1000-executor
+    cluster it would be ~256k files per write). After the repartition
+    each bucket is held by ``files_per_bucket`` tasks exactly, so the
+    file count is bounded by buckets × files_per_bucket regardless of
+    cluster size; raise ``files_per_bucket`` when per-bucket volume
+    (corpus/buckets) is larger than one task should write alone."""
+    if files_per_bucket <= 1:
+        return df.repartition(buckets, F.col("_part_id"))
+    salt = F.pmod(F.xxhash64(salt_col), F.lit(files_per_bucket))
+    return df.repartition(
+        buckets * files_per_bucket, F.col("_part_id"), salt
+    )
+
+
 def write_partitioned(
     df: DataFrame,
     path: str,
     id_col: str = "doc_id",
     buckets: int = DEFAULT_BUCKETS,
     fmt: str = "parquet",
+    files_per_bucket: int = 1,
 ) -> None:
     """Materialize the documents table partitioned by the deterministic
     bucket id — the layout that makes checkpoint RESUME prune the scan
     (completed buckets are whole storage partitions, never read again).
 
     ``buckets`` directories each hold 1/buckets of the corpus; at 100 TB
-    and 256 buckets that is ~400 GB per partition — many parquet files
-    each, so no small-file problem, while resume and per-partition
-    verdicts stay aligned with the checkpoint key."""
+    and 256 buckets that is ~400 GB per partition, so set
+    ``files_per_bucket`` to keep individual files in the hundreds-of-MB
+    band (e.g. 1024 → ~400 MB each) — the write is bucket-aligned
+    (:func:`_bucket_aligned`), so file count is exactly
+    buckets × files_per_bucket, never tasks × buckets, while resume and
+    per-partition verdicts stay aligned with the checkpoint key."""
     if fmt not in ("parquet", "iceberg"):
         raise ValueError(
             "unsupported fmt %r: expected 'parquet' or 'iceberg'" % (fmt,)
         )
     out = df.withColumn("_part_id", deterministic_partition_id(F.col(id_col), buckets))
+    out = _bucket_aligned(out, buckets, files_per_bucket, F.col(id_col))
     writer = out.write.mode("overwrite").partitionBy("_part_id")
     if fmt == "iceberg":
         writer.format("iceberg").saveAsTable(path)
@@ -419,6 +445,7 @@ def write_quarantine(
     quarantine_path: str,
     fmt: str = "parquet",
     partition_by_bucket: bool = True,
+    files_per_bucket: int = 1,
 ) -> None:
     """Route one checked frame to two sinks — the production
     validate-then-quarantine pattern: valid documents (engine columns
@@ -427,9 +454,12 @@ def write_quarantine(
     the quarantine is self-describing (every row says why its document
     was rejected).
 
-    One pass over the input per sink; both writes partition by the
-    deterministic bucket id by default, so downstream repair jobs and
-    checkpoint resume see the same layout as :func:`write_partitioned`.
+    One pass over the input per sink plus a bucket-aligned exchange
+    (:func:`_bucket_aligned` — file count stays buckets ×
+    ``files_per_bucket`` instead of tasks × buckets); both writes
+    partition by the deterministic bucket id by default, so downstream
+    repair jobs and checkpoint resume see the same layout as
+    :func:`write_partitioned`.
     Quarantine volume is the invalid fraction only — the predicate filter
     is pushed into the scan for columnar sources.
 
@@ -462,6 +492,10 @@ def write_quarantine(
         )
 
     valid = report.annotated.filter(F.col("_valid")).select(*payload, "_part_id")
+    if partition_by_bucket:
+        valid = _bucket_aligned(
+            valid, report.buckets, files_per_bucket, F.col(report.id_col)
+        )
     writer = valid.write.mode("overwrite")
     if partition_by_bucket:
         writer = writer.partitionBy("_part_id")
@@ -486,6 +520,10 @@ def write_quarantine(
             F.col("_v.message").alias("violation_message"),
         )
     )
+    if partition_by_bucket:
+        bad = _bucket_aligned(
+            bad, report.buckets, files_per_bucket, F.col(report.id_col)
+        )
     writer = bad.write.mode("overwrite")
     if partition_by_bucket:
         writer = writer.partitionBy("_part_id")

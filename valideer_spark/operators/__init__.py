@@ -20,6 +20,7 @@ from .dedup import (
     exact_duplicates,
     minhash_lsh_candidates,
     minhash_signatures,
+    minhash_signatures_oph,
     ngram_jaccard_pairs,
     simhash,
     simhash_candidates,
@@ -62,6 +63,7 @@ __all__ = [
     "exact_duplicates",
     "minhash_lsh_candidates",
     "minhash_signatures",
+    "minhash_signatures_oph",
     "ngram_jaccard_pairs",
     "simhash",
     "simhash_candidates",

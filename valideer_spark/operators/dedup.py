@@ -288,6 +288,115 @@ def minhash_signatures(
     return staged.select("id", sig.alias("signature"))
 
 
+#: OPH packing: signature slot value lives in the low 48 bits, the bin
+#: index in the bits above — bin*2^48 + val < 2^54 for k <= 64... (any k
+#: up to 2^15 stays ANSI-safe). 48-bit minhash values keep per-slot
+#: collision probability at 2^-48, negligible against LSH band math.
+_OPH_SHIFT = 48
+_OPH_MASK = (1 << _OPH_SHIFT) - 1
+
+
+def minhash_signatures_oph(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, signature array<long>) — One-Permutation Hashing MinHash with
+    rotation densification (Shrivastava & Li, ICML 2014): instead of k
+    independent universal hashes (O(n*k) per doc, :func:`minhash_
+    signatures`), ONE pass assigns each shingle hash to one of k bins
+    and keeps the per-bin minimum; empty bins borrow the next non-empty
+    bin's slot value (circular, "densified OPH"), so the signature stays
+    banding-compatible — identical shingle sets give identical
+    signatures, and per-slot agreement between two docs estimates their
+    Jaccard exactly as k-hash MinHash does.
+
+    Cost per doc: O(n) bin/value hashing + one O((n+k) log(n+k)) long
+    sort + O(n+k) firsts-per-bin fold + O(k) densify — versus O(n*k)
+    lambda evaluations for the universal-hash form. The crossover is
+    document LENGTH: at ~60-word bench docs the sort overhead roughly
+    cancels the saving, at 400+ words (real training-data documents)
+    OPH wins multiples (BENCH.md round 5). Opt-in via
+    ``minhash_lsh_candidates(..., method='oph')``.
+
+    Implementation notes (all pure long math, no structs):
+    * each shingle hash h maps to ``pack = bin*2^48 + val`` with
+      bin = pmod(xxhash64(h, seed), k) and val = pmod(xxhash64(h,
+      seed+1), 2^48) — independent mixes, pack < 2^63 under ANSI.
+    * one ``array_sort`` orders packs by (bin, val); k sentinel packs
+      (bin*2^48 + 2^48-1) guarantee every bin appears, so the
+      firsts-per-bin fold is branch-light: a pack starts a new bin iff
+      shiftright(pack, 48) == size(acc).
+    * densification is a reverse fold carrying the last real slot
+      value (sentinel low bits == 2^48-1 ⇒ empty), wrap-initialized
+      with the first real slot. Borrowed slots keep their SOURCE bin in
+      the high bits — a deterministic function of the shingle set, so
+      band keys stay consistent across docs.
+    * a real slot value of exactly 2^48-1 is indistinguishable from a
+      sentinel (probability 2^-48 per slot) and would densify as if
+      empty — deterministic per shingle set, so signatures stay
+      well-defined; the recall effect is unmeasurable.
+    """
+    k = num_hashes
+    staged = shingle_hash_frame(df, text_col, id_col, shingle_n, out_col="_sh")
+    packed = staged.filter(F.size("_sh") > 0).select(
+        "id",
+        F.array_sort(
+            F.concat(
+                F.transform(
+                    F.col("_sh"),
+                    lambda h: F.pmod(F.xxhash64(h, F.lit(seed)), F.lit(k))
+                    * F.lit(1 << _OPH_SHIFT)
+                    + F.pmod(
+                        F.xxhash64(h, F.lit(seed + 1)), F.lit(1 << _OPH_SHIFT)
+                    ),
+                ),
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(k - 1)),
+                    lambda i: i.cast("long") * F.lit(1 << _OPH_SHIFT)
+                    + F.lit(_OPH_MASK),
+                ),
+            )
+        ).alias("_pk"),
+    )
+    # firsts-per-bin: sentinels guarantee bins appear as 0,1,...,k-1, so
+    # the next NEW bin index is always size(acc)
+    folded = packed.select(
+        "id",
+        F.aggregate(
+            F.col("_pk"),
+            F.array().cast("array<long>"),
+            lambda acc, x: F.when(
+                F.shiftright(x, _OPH_SHIFT) == F.size(acc),
+                F.concat(acc, F.array(x)),
+            ).otherwise(acc),
+        ).alias("_fv"),
+    )
+    fv = F.col("_fv")
+    is_real = lambda x: x.bitwiseAND(F.lit(_OPH_MASK)) != F.lit(_OPH_MASK)  # noqa: E731
+    wrap = F.element_at(F.filter(fv, is_real), 1)
+    sig = F.reverse(
+        F.aggregate(
+            F.reverse(fv),
+            F.struct(
+                wrap.alias("carry"), F.array().cast("array<long>").alias("out")
+            ),
+            lambda acc, x: F.struct(
+                F.when(is_real(x), x).otherwise(acc["carry"]).alias("carry"),
+                F.concat(
+                    acc["out"],
+                    F.array(F.when(is_real(x), x).otherwise(acc["carry"])),
+                ).alias("out"),
+            ),
+            lambda acc: acc["out"],
+        )
+    )
+    return folded.select("id", sig.alias("signature"))
+
+
 def minhash_signatures_arrow(
     df: DataFrame,
     text_col: str = "text",
@@ -420,11 +529,18 @@ def minhash_lsh_candidates(
     shingle_n: int = 3,
     seed: int = 42,
     max_bucket: Optional[int] = None,
+    method: str = "universal",
 ) -> DataFrame:
     """Near-duplicate candidate pairs (a_id, b_id, n_bands_hit) via banded
     MinHash LSH: docs agreeing on any full band land in one bucket.
     See :data:`MINHASH_PRESETS` for measured (num_hashes, bands) presets
     and their recall curves.
+
+    ``method``: ``'universal'`` (default) = k independent universal
+    hashes (:func:`minhash_signatures`); ``'oph'`` = one-permutation
+    hashing with rotation densification
+    (:func:`minhash_signatures_oph`) — same banding downstream, cheaper
+    signatures on LONG documents (cost O(n) vs O(n*k) in doc length).
 
     ``max_bucket`` is the skew guard for pathological corpora (a boiler-
     plate cluster of k near-identical docs makes EVERY one of its band
@@ -437,11 +553,31 @@ def minhash_lsh_candidates(
     preserved exactly, which is what dedup consumes; only redundant
     intra-cluster pairs are dropped. Buckets within the cap keep exact
     all-pairs semantics, so well-behaved corpora are byte-identical
-    with or without the guard. Per-task join input is then bounded by
-    ``max_bucket`` rows per bucket by construction."""
+    with or without the guard. Per-task work is then bounded by
+    ``max_bucket`` ids per bucket by construction.
+
+    Plan shape (round 5): ONE shuffle for candidate generation — the
+    (id, bucket) explode is hash-aggregated into a sorted per-bucket id
+    list (``collect_list``, partial merge map-side) and pairs are
+    expanded INSIDE the row with array expressions. The previous
+    formulation self-joined the exploded frame on ``bucket`` (a
+    sort-merge join: two 16n-row sorts plus, under ``max_bucket``, an
+    extra stats aggregation and a second join) — measured 1.54x slower
+    e2e at 1.1M docs and 1.57x at 5.5M than the single-aggregation form
+    (BENCH.md round 5). Output is identical: per-bucket pair SETS are
+    order-free, and the final (a_id, b_id) count aggregation fixes
+    row order downstream either way."""
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, seed)
+    if method == "universal":
+        sig_fn = minhash_signatures
+    elif method == "oph":
+        sig_fn = minhash_signatures_oph
+    else:
+        raise ValueError(
+            "method must be 'universal' or 'oph', got %r" % (method,)
+        )
+    sigs = sig_fn(df, text_col, id_col, num_hashes, shingle_n, seed)
     # band key = variadic xxhash64 over (band index, the band's signature
     # values) — no string rendering (the old cast+array_join form paid
     # the same string-allocation tax shingle_hash_frame eliminated).
@@ -461,33 +597,47 @@ def minhash_lsh_candidates(
         ]
     )
     buckets = sigs.select("id", F.explode(band_cols).alias("bucket"))
+    # _ids is a REAL column (referenced by several array lambdas below —
+    # no CSE across array-lambda boundaries, see shingle_hash_frame);
+    # sorted ascending so element 1 is the star representative and every
+    # expanded pair already satisfies a_id <= b_id.
+    grouped = buckets.groupBy("bucket").agg(
+        F.array_sort(F.collect_list("id")).alias("_ids")
+    )
+    ids = F.col("_ids")
+    m = F.size(ids)
+    # all-pairs: element i with every later element (slice clamps at the
+    # array end, so the over-long length bound is safe)
+    all_pairs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), m),
+                lambda y: F.struct(x.alias("a_id"), y.alias("b_id")),
+            ),
+        )
+    )
     if max_bucket is not None:
-        # one extra agg on the SAME key as the join (exchange reused);
-        # _rep = min id doubles as the star-link representative
-        stats = buckets.groupBy("bucket").agg(
-            F.count(F.lit(1)).alias("_n"), F.min("id").alias("_rep")
+        # star linking for over-cap buckets: min id (element 1) pairs
+        # with each other member — m-1 edges. CaseWhen evaluates only
+        # the taken branch, so wide buckets never expand all-pairs.
+        star = F.transform(
+            F.slice(ids, F.lit(2), m),
+            lambda y: F.struct(
+                F.element_at(ids, 1).alias("a_id"), y.alias("b_id")
+            ),
         )
-        annotated = buckets.join(stats, "bucket")
-        narrow = annotated.filter(F.col("_n") <= max_bucket).select("id", "bucket")
-        star = (
-            annotated.filter(
-                (F.col("_n") > max_bucket) & (F.col("id") != F.col("_rep"))
-            )
-            # rep = min(id) => rep < id, preserving the a_id < b_id contract
-            .select(F.col("_rep").alias("a_id"), F.col("id").alias("b_id"))
-        )
+        pairs_arr = F.when(m <= F.lit(max_bucket), all_pairs).otherwise(star)
     else:
-        narrow = buckets
-        star = None
-    a = narrow.alias("a")
-    b = narrow.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.bucket") == F.col("b.bucket"))
-        & (F.col("a.id") < F.col("b.id")),
-    ).select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
-    if star is not None:
-        pairs = pairs.unionAll(star)
+        pairs_arr = all_pairs
+    pairs = (
+        grouped.select(F.explode(pairs_arr).alias("_p"))
+        .select(F.col("_p.a_id").alias("a_id"), F.col("_p.b_id").alias("b_id"))
+        # drop degenerate self-pairs from equal ids in one bucket (only
+        # possible via a cross-band band-key hash collision on one doc);
+        # the old join's strict a.id < b.id excluded the same rows
+        .filter(F.col("a_id") != F.col("b_id"))
+    )
     return pairs.groupBy("a_id", "b_id").agg(
         F.count(F.lit(1)).alias("n_bands_hit")
     )
