@@ -94,3 +94,21 @@ def test_checkpoint_resume_uses_broadcast_anti_join(spark, tmp_path):
         F.broadcast(done), report.annotated["_part_id"] == done["part_id"], "left_anti"
     )
     assert "BroadcastHashJoin" in _plan(joined.select("_part_id"))
+
+
+def test_lsh_candidates_plan_has_no_join(spark):
+    """Round-5 candidates shape: pair generation is ONE hash aggregation
+    (collect_list per bucket + in-row expansion) — no self-join, so no
+    sort-merge join and none of the 16n-row sorts it forced. Exchanges:
+    the bucket agg plus the final (a_id, b_id) count agg."""
+    from valideer_spark.operators.dedup import minhash_lsh_candidates
+
+    df = spark.createDataFrame(
+        [(i, "w%d x%d y%d z%d q%d" % (i, i, i, i, i)) for i in range(20)],
+        "doc_id long, text string",
+    )
+    for kwargs in ({}, {"max_bucket": 8}):
+        plan = _plan(minhash_lsh_candidates(df, **kwargs))
+        assert "SortMergeJoin" not in plan
+        assert "Join" not in plan  # no join of any kind
+        assert "ObjectHashAggregate" in plan  # collect_list path
