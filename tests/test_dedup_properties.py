@@ -115,3 +115,38 @@ def test_lsh_max_bucket_star_links_hot_clusters(spark):
     # star edges hit every band (identical signatures)
     star_hits = {r["n_bands_hit"] for r in capped_rows if r["a_id"] in hot_ids}
     assert star_hits == {16}
+
+
+@pytest.mark.usefixtures("spark")
+def test_verify_prune_output_identical(spark):
+    """prune=True is a plan-only lever: the verified pair set (and every
+    score column) must match prune=False exactly, including candidates
+    whose ids carry no shingles (dropped by the size filter either way)."""
+    from valideer_spark.operators.dedup import (
+        jaccard_verify_candidates,
+        minhash_lsh_candidates,
+    )
+
+    docs = [
+        (1, "the cat sat on the mat today ok"),
+        (2, "the cat sat on the mat today yes"),
+        (3, "apples bananas cherries dates elderberry figs grapes"),
+        (4, "apples bananas cherries dates elderberry figs melons"),
+        (5, "dog ran far big sun the cat sat"),
+        (6, "zz"),  # too short for 3-shingles: no row in the shingle frame
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    cand = minhash_lsh_candidates(df).select("a_id", "b_id").union(
+        spark.createDataFrame([(5, 6)], ["a_id", "b_id"])  # shingle-less id
+    )
+
+    def rows(prune):
+        return sorted(
+            tuple(r) for r in jaccard_verify_candidates(
+                df, cand, threshold_num=1, threshold_den=2, prune=prune
+            ).collect()
+        )
+
+    plain, pruned = rows(False), rows(True)
+    assert plain == pruned
+    assert plain  # non-degenerate: at least one verified pair

@@ -114,6 +114,12 @@ def main() -> None:
                     help="time universal vs oph SIGNATURE stage in one "
                          "JVM, alternating rounds (drift-robust), at "
                          "--docs/--words; reports best-of per method")
+    ap.add_argument("--verify-compare", action="store_true",
+                    help="time the verify stage pruned vs unpruned in one "
+                         "JVM over the SAME persisted candidate table, "
+                         "alternating rounds; run at --dup-fraction 0.1 "
+                         "(sparse coverage) AND 1.0 (dense) before "
+                         "changing the prune default")
     ap.add_argument("--linearity", type=str, default=None,
                     help="comma-separated doc counts, e.g. 1000000,5000000: "
                          "run e2e at each size IN ONE JVM (first size is "
@@ -191,6 +197,56 @@ def main() -> None:
             "universal_s": round(best["universal"], 1),
             "oph_s": round(best["oph"], 1),
             "speedup_oph": round(best["universal"] / best["oph"], 2),
+        }))
+        spark.stop()
+        return
+
+    if args.verify_compare:
+        corpus = build_corpus(
+            spark, args.docs, args.dup_fraction, args.hot, args.words
+        ).persist()
+        n_total = corpus.count()
+        cand = minhash_lsh_candidates(
+            corpus, "text", "doc_id",
+            num_hashes=args.num_hashes, bands=args.bands,
+            max_bucket=args.max_bucket, method=args.method,
+        ).persist()
+        n_cand = cand.count()  # materialize candidates outside timed region
+        n_touched = (
+            cand.select(F.col("a_id").alias("id"))
+            .union(cand.select(F.col("b_id").alias("id")))
+            .distinct()
+            .count()
+        )
+
+        def run_verify(prune: bool) -> float:
+            verified = jaccard_verify_candidates(
+                corpus, cand, "text", "doc_id", 3,
+                threshold_num=1, threshold_den=1, prune=prune,
+            )
+            t0 = time.time()
+            n = verified.count()
+            return time.time() - t0, n
+
+        counts = {}
+        for p in (False, True):  # JIT/codegen warm-up, untimed
+            _, counts[p] = run_verify(p)
+        assert counts[False] == counts[True], counts  # identical output
+        best: dict = {}
+        for r in range(3):
+            order = [False, True] if r % 2 == 0 else [True, False]
+            for p in order:
+                dt, _ = run_verify(p)
+                best[p] = min(best.get(p, dt), dt)
+        print(json.dumps({
+            "mode": "verify_compare", "docs": args.docs,
+            "dup_fraction": args.dup_fraction, "n_total": n_total,
+            "n_candidates": n_cand, "n_touched_ids": n_touched,
+            "touched_coverage": round(n_touched / n_total, 3),
+            "cpus": args.cpus, "verified_pairs": counts[False],
+            "unpruned_s": round(best[False], 2),
+            "pruned_s": round(best[True], 2),
+            "speedup_pruned": round(best[False] / best[True], 2),
         }))
         spark.stop()
         return

@@ -218,6 +218,7 @@ def jaccard_verify_candidates(
     n: int = 3,
     threshold_num: int = 1,
     threshold_den: int = 2,
+    prune: bool = False,
 ) -> DataFrame:
     """Exact-Jaccard verification of a candidate-pair table (a_id, b_id)
     — the 100 TB-scale path: candidate generation via
@@ -226,9 +227,28 @@ def jaccard_verify_candidates(
 
     Cost is O(|candidates| * avg shingle count): no self-join, no
     quadratic bucket risk. Output matches :func:`ngram_jaccard_pairs`.
+
+    ``prune=True`` left-semi-joins the shingle frame down to ids the
+    candidate table actually touches before the two pair joins. At low
+    candidate coverage (~18% of ids at dup_fraction=0.1) the heavy
+    array-row shuffle into each pair join shrinks proportionally, at
+    the price of two extra shuffles (the touched-id distinct + the
+    semi-join). Opt-in: measured ~neutral-to-slightly-negative at 1.1M
+    docs/local[32] at BOTH 0.1 and 1.0 coverage (BENCH.md round 5 —
+    the semi-join re-shuffles the same array rows it saves downstream,
+    and AQE already prunes empty partitions), so the default stays the
+    simpler plan; the lever exists for corpora where candidates touch
+    a tiny id fraction AND the shingle frame dwarfs the pair count.
     """
     sh = shingle_hash_frame(df, text_col, id_col, n).filter(F.size("sh") > 0)
     cand = candidates.select("a_id", "b_id")
+    if prune:
+        touched = (
+            cand.select(F.col("a_id").alias("id"))
+            .union(cand.select(F.col("b_id").alias("id")))
+            .distinct()
+        )
+        sh = sh.join(touched, "id", "left_semi")
     joined = (
         cand.join(sh.select(F.col("id").alias("a_id"), F.col("sh").alias("sh_a")), "a_id")
         .join(sh.select(F.col("id").alias("b_id"), F.col("sh").alias("sh_b")), "b_id")
