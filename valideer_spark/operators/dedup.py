@@ -218,7 +218,7 @@ def jaccard_verify_candidates(
     n: int = 3,
     threshold_num: int = 1,
     threshold_den: int = 2,
-    prune: bool = False,
+    prune: bool = True,
 ) -> DataFrame:
     """Exact-Jaccard verification of a candidate-pair table (a_id, b_id)
     — the 100 TB-scale path: candidate generation via
@@ -228,17 +228,18 @@ def jaccard_verify_candidates(
     Cost is O(|candidates| * avg shingle count): no self-join, no
     quadratic bucket risk. Output matches :func:`ngram_jaccard_pairs`.
 
-    ``prune=True`` left-semi-joins the shingle frame down to ids the
-    candidate table actually touches before the two pair joins. At low
-    candidate coverage (~18% of ids at dup_fraction=0.1) the heavy
-    array-row shuffle into each pair join shrinks proportionally, at
-    the price of two extra shuffles (the touched-id distinct + the
-    semi-join). Opt-in: measured ~neutral-to-slightly-negative at 1.1M
-    docs/local[32] at BOTH 0.1 and 1.0 coverage (BENCH.md round 5 —
-    the semi-join re-shuffles the same array rows it saves downstream,
-    and AQE already prunes empty partitions), so the default stays the
-    simpler plan; the lever exists for corpora where candidates touch
-    a tiny id fraction AND the shingle frame dwarfs the pair count.
+    ``prune=True`` (default) left-semi-joins the shingle frame down to
+    ids the candidate table actually touches before the two pair joins:
+    the heavy array-row sort/shuffle feeding each pair join shrinks to
+    the touched fraction, for the price of two cheap id-only shuffles
+    (the touched-id distinct + the semi-join of id-hash rows). Measured
+    same-JVM alternating at 1.1M docs/local[32] (``tools/dedup_bench.py
+    --verify-compare``, BENCH.md round 5): 1.26x at 18% candidate
+    coverage (17.3s vs 21.9s) and 1.02x — i.e. no pessimization — at
+    100% coverage (22.8s vs 23.2s), so the prune is on by default; the
+    pre-registered rule was "default only if >=1.0x at BOTH 0.1 and 1.0
+    coverage". Output is identical either way (pytest-asserted),
+    including candidates whose ids carry no shingles.
     """
     sh = shingle_hash_frame(df, text_col, id_col, n).filter(F.size("sh") > 0)
     cand = candidates.select("a_id", "b_id")
