@@ -126,6 +126,17 @@ def main() -> None:
                          "also run once untimed as JIT warm-up), report "
                          "docs/s per size + scaling ratio — the only "
                          "protocol that survives shared-host weather")
+    ap.add_argument("--shuffle-compare", type=str, default=None,
+                    help="comma-separated partition counts, e.g. 32,128: "
+                         "run e2e at --docs once per setting IN ONE JVM "
+                         "(shuffle.partitions is runtime-settable), "
+                         "alternating rounds, best-of per setting — the "
+                         "banded explode is bands*n rows, so partition "
+                         "count is the 5M+ scaling lever")
+    ap.add_argument("--e2e-compare", action="store_true",
+                    help="time the FULL LSH→verify e2e universal vs oph "
+                         "in one JVM, alternating rounds, at "
+                         "--docs/--words; asserts seed recall for both")
     args = ap.parse_args()
 
     spark = (
@@ -150,11 +161,11 @@ def main() -> None:
     )
     sig_fn = minhash_signatures_oph if args.method == "oph" else minhash_signatures
 
-    def run_e2e(corpus, n_docs):
+    def run_e2e(corpus, n_docs, method=None):
         cand = minhash_lsh_candidates(
             corpus, "text", "doc_id",
             num_hashes=args.num_hashes, bands=args.bands,
-            max_bucket=args.max_bucket, method=args.method,
+            max_bucket=args.max_bucket, method=method or args.method,
         )
         verified = jaccard_verify_candidates(
             corpus, cand, "text", "doc_id", 3, threshold_num=1, threshold_den=1
@@ -247,6 +258,70 @@ def main() -> None:
             "unpruned_s": round(best[False], 2),
             "pruned_s": round(best[True], 2),
             "speedup_pruned": round(best[False] / best[True], 2),
+        }))
+        spark.stop()
+        return
+
+    if args.shuffle_compare:
+        settings = [int(x) for x in args.shuffle_compare.split(",")]
+        corpus = build_corpus(
+            spark, args.docs, args.dup_fraction, args.hot, args.words
+        ).persist()
+        n_total = corpus.count()
+        run_e2e(corpus, args.docs)  # JIT/codegen warm-up, untimed
+        best: dict = {}
+        recall = {}
+        for r in range(3):
+            order = settings if r % 2 == 0 else list(reversed(settings))
+            for p in order:
+                spark.conf.set("spark.sql.shuffle.partitions", str(p))
+                dt, agg, n_seed = run_e2e(corpus, args.docs)
+                best[p] = min(best.get(p, dt), dt)
+                recall[p] = round((agg["n_seed_found"] or 0) / max(1, n_seed), 6)
+        print(json.dumps({
+            "mode": "shuffle_compare", "docs": args.docs,
+            "n_total": n_total, "cpus": args.cpus,
+            "num_hashes": args.num_hashes, "bands": args.bands,
+            "exploded_rows": args.bands * n_total,
+            "results": [
+                {"shuffle_partitions": p, "e2e_s": round(best[p], 1),
+                 "docs_per_sec": round(n_total / best[p], 1),
+                 "seed_recall": recall[p]}
+                for p in settings
+            ],
+        }))
+        spark.stop()
+        return
+
+    if args.e2e_compare:
+        corpus = build_corpus(
+            spark, args.docs, args.dup_fraction, args.hot, args.words
+        ).persist()
+        n_total = corpus.count()
+        methods = ["universal", "oph"]
+        for m in methods:  # JIT/codegen warm-up, untimed
+            run_e2e(corpus, args.docs, method=m)
+        best: dict = {}
+        recall = {}
+        pairs = {}
+        for r in range(3):
+            order = methods if r % 2 == 0 else list(reversed(methods))
+            for m in order:
+                dt, agg, n_seed = run_e2e(corpus, args.docs, method=m)
+                best[m] = min(best.get(m, dt), dt)
+                recall[m] = round((agg["n_seed_found"] or 0) / max(1, n_seed), 6)
+                pairs[m] = agg["n_pairs"]
+        print(json.dumps({
+            "mode": "e2e_compare", "docs": args.docs, "n_total": n_total,
+            "words": args.words, "num_hashes": args.num_hashes,
+            "bands": args.bands, "cpus": args.cpus,
+            "universal": {"e2e_s": round(best["universal"], 1),
+                          "seed_recall": recall["universal"],
+                          "n_pairs": pairs["universal"]},
+            "oph": {"e2e_s": round(best["oph"], 1),
+                    "seed_recall": recall["oph"],
+                    "n_pairs": pairs["oph"]},
+            "speedup_oph": round(best["universal"] / best["oph"], 2),
         }))
         spark.stop()
         return
