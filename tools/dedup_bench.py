@@ -76,6 +76,30 @@ def build_corpus(
     return corpus
 
 
+def kernel_bracket():
+    """Single-thread row-kernel control (scaling_bench.kernel_rate):
+    measures host CPU weather, which dram_probe's streaming-efficiency
+    RATIO does not catch. Returned closure appends a fresh reading;
+    call before the first timed pass and after every timed pass, then
+    report max drift — >15% between any two readings means external
+    contention moved DURING the run and the numbers are rejects."""
+    sys.path.insert(0, "/root/repo/tools")
+    from scaling_bench import kernel_rate
+
+    kernel_rate(5_000)  # warm-up, discarded (first call reads ~25% cold)
+    readings: list = []
+
+    def sample() -> float:
+        r = kernel_rate()
+        readings.append(round(r, 1))
+        return r
+
+    def drift() -> float:
+        return round(1.0 - min(readings) / max(readings), 3)
+
+    return sample, drift, readings
+
+
 def force(df: DataFrame, cols) -> int:
     """Force FULL evaluation of the listed array/scalar columns (memory
     gotcha: element_at probes get pruned by Catalyst — xor-fold instead)."""
@@ -268,7 +292,9 @@ def main() -> None:
             spark, args.docs, args.dup_fraction, args.hot, args.words
         ).persist()
         n_total = corpus.count()
+        sample, drift, readings = kernel_bracket()
         run_e2e(corpus, args.docs)  # JIT/codegen warm-up, untimed
+        sample()
         best: dict = {}
         recall = {}
         for r in range(3):
@@ -278,6 +304,7 @@ def main() -> None:
                 dt, agg, n_seed = run_e2e(corpus, args.docs)
                 best[p] = min(best.get(p, dt), dt)
                 recall[p] = round((agg["n_seed_found"] or 0) / max(1, n_seed), 6)
+            sample()
         print(json.dumps({
             "mode": "shuffle_compare", "docs": args.docs,
             "n_total": n_total, "cpus": args.cpus,
@@ -289,6 +316,9 @@ def main() -> None:
                  "seed_recall": recall[p]}
                 for p in settings
             ],
+            "kernel_docs_per_sec": readings,
+            "kernel_drift": drift(),
+            "window_stable": drift() <= 0.15,
         }))
         spark.stop()
         return
@@ -299,8 +329,10 @@ def main() -> None:
         ).persist()
         n_total = corpus.count()
         methods = ["universal", "oph"]
+        sample, drift, readings = kernel_bracket()
         for m in methods:  # JIT/codegen warm-up, untimed
             run_e2e(corpus, args.docs, method=m)
+        sample()
         best: dict = {}
         recall = {}
         pairs = {}
@@ -311,6 +343,7 @@ def main() -> None:
                 best[m] = min(best.get(m, dt), dt)
                 recall[m] = round((agg["n_seed_found"] or 0) / max(1, n_seed), 6)
                 pairs[m] = agg["n_pairs"]
+            sample()
         print(json.dumps({
             "mode": "e2e_compare", "docs": args.docs, "n_total": n_total,
             "words": args.words, "num_hashes": args.num_hashes,
@@ -322,20 +355,27 @@ def main() -> None:
                     "seed_recall": recall["oph"],
                     "n_pairs": pairs["oph"]},
             "speedup_oph": round(best["universal"] / best["oph"], 2),
+            "kernel_docs_per_sec": readings,
+            "kernel_drift": drift(),
+            "window_stable": drift() <= 0.15,
         }))
         spark.stop()
         return
 
     if args.linearity:
         sizes = [int(x) for x in args.linearity.split(",")]
+        sample, drift, readings = kernel_bracket()
         results = []
+        sample()  # kernel control before the first timed pass
         for i, n in enumerate(sizes):
             corpus = build_corpus(spark, n, args.dup_fraction, args.hot, args.words)
             corpus = corpus.persist()
             n_total = corpus.count()
             if i == 0:
                 run_e2e(corpus, n)  # JIT/codegen warm-up, untimed
+                sample()
             wall, agg, n_seed = run_e2e(corpus, n)
+            sample()  # bracket every timed pass
             results.append({
                 "docs": n, "n_total": n_total, "e2e_s": round(wall, 1),
                 "docs_per_sec": round(n_total / wall, 1),
@@ -352,6 +392,9 @@ def main() -> None:
             "rate_ratio_vs_first": [
                 round(r["docs_per_sec"] / base_rate, 3) for r in results
             ],
+            "kernel_docs_per_sec": readings,
+            "kernel_drift": drift(),
+            "window_stable": drift() <= 0.15,
         }))
         spark.stop()
         return

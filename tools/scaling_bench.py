@@ -19,8 +19,15 @@ import subprocess
 import sys
 import time
 
-N_DOCS = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
-CPU_LIST = [int(x) for x in (sys.argv[2] if len(sys.argv) > 2 else "2,8,32").split(",")]
+def _cli_args():
+    # parsed lazily so `from scaling_bench import kernel_rate` (the
+    # dedup_bench window bracket) does not trip over THIS script's argv
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
+    cpu_list = [
+        int(x)
+        for x in (sys.argv[2] if len(sys.argv) > 2 else "2,8,32").split(",")
+    ]
+    return n_docs, cpu_list
 # per-JVM timed iterations; total per level = SCALING_ITERS x
 # SCALING_ROUNDS (interleaved), so 2x2 keeps the old best-of-4 budget
 ITERS = int(os.environ.get("SCALING_ITERS", "2"))
@@ -126,6 +133,7 @@ def kernel_rate(n_docs: int = 20_000) -> float:
 
 
 def main() -> None:
+    N_DOCS, CPU_LIST = _cli_args()
     parquet_dir = "/tmp/vsbench_docs_%d" % N_DOCS
     if not os.path.exists(os.path.join(parquet_dir, "_SUCCESS")):
         prepare_input(N_DOCS, parquet_dir)
