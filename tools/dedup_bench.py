@@ -150,6 +150,9 @@ def main() -> None:
                          "also run once untimed as JIT warm-up), report "
                          "docs/s per size + scaling ratio — the only "
                          "protocol that survives shared-host weather")
+    ap.add_argument("--retries", type=int, default=3,
+                    help="--linearity: max attempts per size until the "
+                         "pass's own kernel bracket is stable (<=15%)")
     ap.add_argument("--shuffle-compare", type=str, default=None,
                     help="comma-separated partition counts, e.g. 32,128: "
                          "run e2e at --docs once per setting IN ONE JVM "
@@ -366,20 +369,32 @@ def main() -> None:
         sizes = [int(x) for x in args.linearity.split(",")]
         sample, drift, readings = kernel_bracket()
         results = []
-        sample()  # kernel control before the first timed pass
         for i, n in enumerate(sizes):
             corpus = build_corpus(spark, n, args.dup_fraction, args.hot, args.words)
             corpus = corpus.persist()
             n_total = corpus.count()
             if i == 0:
                 run_e2e(corpus, n)  # JIT/codegen warm-up, untimed
-                sample()
-            wall, agg, n_seed = run_e2e(corpus, n)
-            sample()  # bracket every timed pass
+            # per-size validity: each timed pass is bracketed by its OWN
+            # kernel readings; a contention burst invalidates only the
+            # pass it hit, which is retried (same JVM) instead of
+            # poisoning the whole curve — shared-host bursts observed
+            # here drop the kernel 8x for under a minute.
+            for attempt in range(args.retries):
+                k0 = sample()
+                wall, agg, n_seed = run_e2e(corpus, n)
+                k1 = sample()
+                local_drift = 1.0 - min(k0, k1) / max(k0, k1)
+                if local_drift <= 0.15:
+                    break
             results.append({
                 "docs": n, "n_total": n_total, "e2e_s": round(wall, 1),
                 "docs_per_sec": round(n_total / wall, 1),
                 "seed_recall": round((agg["n_seed_found"] or 0) / max(1, n_seed), 6),
+                "kernel_bracket": [round(k0, 1), round(k1, 1)],
+                "pass_drift": round(local_drift, 3),
+                "pass_stable": local_drift <= 0.15,
+                "attempts": attempt + 1,
             })
             corpus.unpersist()
         base_rate = results[0]["docs_per_sec"]
@@ -394,7 +409,7 @@ def main() -> None:
             ],
             "kernel_docs_per_sec": readings,
             "kernel_drift": drift(),
-            "window_stable": drift() <= 0.15,
+            "window_stable": all(r["pass_stable"] for r in results),
         }))
         spark.stop()
         return
