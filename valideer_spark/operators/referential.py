@@ -1,12 +1,21 @@
 """Referential-integrity constraints as anti-joins.
 
-Small reference tables are broadcast (hash join, no shuffle of the fact
-side); large ones fall back to sort-merge with AQE skew splitting. The
-violating side is always the fact table: rows whose foreign key has no
-match in the reference relation.
+Join strategy (round 6, measured): ``broadcast_ref=None`` (the default)
+lets Spark pick — small references broadcast via the static estimate or
+AQE's runtime rewrite; large ones take a shuffled-hash/sort-merge join
+with AQE skew splitting. Forcing a broadcast of a multi-million-key
+reference builds the hash relation single-threaded on the driver:
+at 2M docs / ~7M distinct refs the forced broadcast anti-join ran 5.5s
+vs 1.3s for the planner-chosen shuffled-hash join (local[32],
+tools/referential_experiment.py), so the hint is now opt-in
+(``broadcast_ref=True``) for callers who know their reference is small
+but mis-estimated. The violating side is always the fact table: rows
+whose foreign key has no match in the reference relation.
 """
 
 from __future__ import annotations
+
+from typing import Optional
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -17,12 +26,17 @@ def orphan_rows(
     fact_key: str,
     ref: DataFrame,
     ref_key: str,
-    broadcast_ref: bool = True,
+    broadcast_ref: Optional[bool] = None,
 ) -> DataFrame:
     """Fact rows whose ``fact_key`` does not exist in ``ref.ref_key``.
 
     NULL foreign keys are not orphans (SQL semantics: nothing to refer to);
     use a NonNullable column check for null enforcement.
+
+    ``broadcast_ref``: ``None`` (default) lets the planner/AQE choose the
+    join strategy from actual sizes; ``True`` forces a broadcast (only for
+    references known small but badly estimated). The result set is
+    identical either way.
     """
     r = ref.select(F.col(ref_key).alias("__ref_key")).distinct()
     if broadcast_ref:
@@ -77,11 +91,16 @@ def orphan_keys(
     fact_key: str,
     ref: DataFrame,
     ref_key: str,
-    broadcast_ref: bool = True,
+    broadcast_ref: Optional[bool] = None,
 ) -> DataFrame:
     """Distinct violating keys with occurrence counts (smaller output than
     :func:`orphan_rows` — aggregate first, then anti-join the distinct
-    keys, which shrinks the join's left side to |distinct keys|)."""
+    keys, which shrinks the join's left side to |distinct keys|).
+
+    The aggregation partitions the fact side by ``fact_key`` — exactly the
+    anti-join's key — so a shuffled-hash/sort-merge join reuses that
+    exchange and only the reference side moves; ``broadcast_ref`` as in
+    :func:`orphan_rows` (default: planner/AQE decides)."""
     keys = (
         fact.filter(F.col(fact_key).isNotNull())
         .groupBy(fact_key)
