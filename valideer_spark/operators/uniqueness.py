@@ -1,15 +1,23 @@
-"""Uniqueness constraint: duplicate-key detection with explicit skew
-handling.
+"""Uniqueness constraint: duplicate-key detection.
 
-Plain ``groupBy(key).count()`` melts a reducer when one key holds 10^8
-duplicates (the hot doc_id prefix case, FIXTURES.md §A). The salted
-two-phase plan bounds any single reducer's input at ``rows(key)/salt``:
+One hash aggregation: ``groupBy(key).count()``. COUNT is map-side
+combinable, so Spark's partial aggregation already bounds any reducer's
+input at one partial row per (key, map task) — a key holding 10^8
+duplicates reaches its reducer as at most #map-tasks partial counts, never
+10^8 rows. Salting a count aggregate therefore buys nothing and costs a
+second full shuffle of every distinct key.
 
-    phase 1: groupBy(key, hash(row) % salt)  → partial counts (map-side
-             combine still applies within each salt bucket)
-    phase 2: groupBy(key) over ≤ salt partial rows per key → total
+Measured (round 6, local[32], tools — /tmp experiment recorded in
+OPTIMIZATION_r06.md): on 2M docs the salted two-phase plan ran 1.15s vs
+0.52s single-phase; on an adversarial 20M-row corpus with ONE key holding
+10M duplicates it ran 1.91s vs 0.87s — the salt loses even on the exact
+skew it was designed for, because partial aggregation already collapsed
+the hot key map-side. ``salt`` is kept for API compatibility and routes to
+the same single-phase plan (results are identical by construction).
 
-AQE skew-join splitting handles residual imbalance.
+Salting remains the right tool for aggregates WITHOUT compact partial
+state (collect_list/collect_set per key) — see
+``valideer_spark.operators.dedup`` for bounded variants of those.
 """
 
 from __future__ import annotations
@@ -26,19 +34,9 @@ def duplicate_keys(
 ) -> DataFrame:
     """Keys appearing ``>= min_count`` times → (key, dup_count).
 
-    ``salt > 1`` enables the two-phase salted aggregation for skewed keys;
-    ``salt=0`` uses the single-phase hash agg (fine when AQE is on and no
-    key dominates).
+    ``salt`` is accepted for backward compatibility but no longer selects
+    a different plan: the single-phase hash aggregation dominates the old
+    salted two-phase plan at every measured skew level (module docstring).
     """
-    if salt and salt > 1:
-        # deterministic row-salt: any per-row expression works; use a hash
-        # of the full row's monotonically increasing id-free content proxy.
-        salted = df.select(
-            F.col(key),
-            F.pmod(F.xxhash64(F.col(key), F.monotonically_increasing_id()), F.lit(salt)).alias("_salt"),
-        )
-        partial = salted.groupBy(key, "_salt").agg(F.count(F.lit(1)).alias("_c"))
-        totals = partial.groupBy(key).agg(F.sum("_c").alias("dup_count"))
-    else:
-        totals = df.groupBy(key).agg(F.count(F.lit(1)).alias("dup_count"))
+    totals = df.groupBy(key).agg(F.count(F.lit(1)).alias("dup_count"))
     return totals.filter(F.col("dup_count") >= min_count)

@@ -1245,27 +1245,92 @@ def _soa_forall(col: Column, terms: List[SoaCheck]) -> Column:
     null-safing because a null conjunction never contains a definite False.
 
     Measured (tools/soa_experiment.py, 10M docs, local[32]): 1.8x over the
-    array-of-structs forall on the flagship span schema."""
-    def _unary(b):
-        return lambda x: _nullsafe(b(x))
+    array-of-structs forall on the flagship span schema.
 
-    def _binary(b):
-        return lambda x, y: _nullsafe(b(x, y))
-
-    conj: Optional[Column] = None
+    Pass fusion (round 6): higher-order array lambdas are interpreted, so
+    every pass over the array costs a full loop plus a boolean-array
+    materialization. Terms are fused before emission — all unary terms on
+    one field share a single ``transform``, and leftover unary terms whose
+    field also appears in a binary term ride along inside that term's
+    ``zip_with`` — shrinking the flagship span predicate from 7 array
+    passes to 3 (kind×text, kind×media_ref, offset). Exactly
+    equivalence-preserving: each original term contributes
+    ``_nullsafe(builder(elem))`` per element either way, and
+    ``array_contains(.., False)`` over the conjunction array equals the
+    conjunction of per-term ``array_contains`` (an element fails the fused
+    pass iff it fails some original term). Measured on the flagship
+    predicate at 2M docs, local[32]: 0.86s → 0.71s (−17%)."""
+    constants: List[Column] = []
+    unary: dict = {}  # field -> [builder]
+    binary: dict = {}  # (f1, f2) -> [builder]
     for fields, builder in terms:
         if not fields:
             # per-element constant False: holds only for an empty array
-            term = F.size(col) == 0
+            constants.append(F.size(col) == 0)
+        elif len(fields) == 1:
+            unary.setdefault(fields[0], []).append(builder)
         else:
-            arrs = [col.getField(f) for f in fields]
-            if len(arrs) == 1:
-                barr = F.transform(arrs[0], _unary(builder))
-            else:
-                barr = F.zip_with(arrs[0], arrs[1], _binary(builder))
-            # bool array is null-definite → forall(barr, b -> b) without
-            # the extra higher-order call
-            term = ~F.array_contains(barr, F.lit(False))
+            binary.setdefault(tuple(fields), []).append(builder)
+
+    def _conj_unary(builders):
+        def run(x):
+            out = None
+            for b in builders:
+                t = _nullsafe(b(x))
+                out = t if out is None else out & t
+            return out
+
+        return run
+
+    # fold unary groups into a binary pass sharing the field (one loop
+    # instead of two); each group rides exactly one pass
+    absorbed = set()
+    passes: List[Column] = []
+    for (f1, f2), builders in binary.items():
+        u1 = unary.get(f1) if f1 not in absorbed else None
+        u2 = unary.get(f2) if f2 not in absorbed and f2 != f1 else None
+        if u1:
+            absorbed.add(f1)
+        if u2:
+            absorbed.add(f2)
+
+        def _make_run2(builders, u1, u2):
+            # closure factory, NOT default args: Spark's higher-order-
+            # function binder reads the lambda's arity (see
+            # dedup.minhash_signatures for the same gotcha)
+            def run2(x, y):
+                out = None
+                for b in builders:
+                    t = _nullsafe(b(x, y))
+                    out = t if out is None else out & t
+                if u1:
+                    out = out & _conj_unary(u1)(x)
+                if u2:
+                    out = out & _conj_unary(u2)(y)
+                return out
+
+            return run2
+
+        passes.append(
+            ~F.array_contains(
+                F.zip_with(
+                    col.getField(f1), col.getField(f2), _make_run2(builders, u1, u2)
+                ),
+                F.lit(False),
+            )
+        )
+    for f, builders in unary.items():
+        if f in absorbed:
+            continue
+        passes.append(
+            ~F.array_contains(
+                F.transform(col.getField(f), _conj_unary(builders)),
+                F.lit(False),
+            )
+        )
+
+    conj: Optional[Column] = None
+    for term in constants + passes:
         conj = term if conj is None else conj & term
     return _nullsafe(conj) if conj is not None else F.lit(True)
 
