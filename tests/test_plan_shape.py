@@ -97,18 +97,46 @@ def test_checkpoint_resume_uses_broadcast_anti_join(spark, tmp_path):
 
 
 def test_lsh_candidates_plan_has_no_join(spark):
-    """Round-5 candidates shape: pair generation is ONE hash aggregation
-    (collect_list per bucket + in-row expansion) — no self-join, so no
-    sort-merge join and none of the 16n-row sorts it forced. Exchanges:
-    the bucket agg plus the final (a_id, b_id) count agg."""
+    """Round-5 candidates shape (uncapped path): pair generation is ONE
+    hash aggregation (collect_list per bucket + in-row expansion) — no
+    self-join, so no sort-merge join and none of the 16n-row sorts it
+    forced. Exchanges: the bucket agg plus the final (a_id, b_id) count
+    agg."""
     from valideer_spark.operators.dedup import minhash_lsh_candidates
 
     df = spark.createDataFrame(
         [(i, "w%d x%d y%d z%d q%d" % (i, i, i, i, i)) for i in range(20)],
         "doc_id long, text string",
     )
-    for kwargs in ({}, {"max_bucket": 8}):
-        plan = _plan(minhash_lsh_candidates(df, **kwargs))
-        assert "SortMergeJoin" not in plan
-        assert "Join" not in plan  # no join of any kind
-        assert "ObjectHashAggregate" in plan  # collect_list path
+    plan = _plan(minhash_lsh_candidates(df))
+    assert "SortMergeJoin" not in plan
+    assert "Join" not in plan  # no join of any kind
+    assert "ObjectHashAggregate" in plan  # collect_list path
+
+
+def test_lsh_candidates_capped_plan_is_bounded_and_join_free(spark):
+    """Round-6 skew-guard shape (max_bucket set): a whole-partition window
+    over ``bucket`` tags each raw (id, bucket) row with the bucket's
+    (count, min id) — WindowExec buffers one bucket group at a time in a
+    SPILLABLE buffer — and rows route by size: under-cap rows keep the
+    collect_list path (aggregation row <= max_bucket by construction),
+    over-cap rows emit star edges row-wise with no aggregation at all.
+    Still join-free; the one remaining unbounded-row hazard of the
+    round-5 shape (collect_list over a mega-cluster bucket BEFORE the cap
+    applied) is gone."""
+    from valideer_spark.operators.dedup import minhash_lsh_candidates
+
+    df = spark.createDataFrame(
+        [(i, "w%d x%d y%d z%d q%d" % (i, i, i, i, i)) for i in range(20)],
+        "doc_id long, text string",
+    )
+    q = minhash_lsh_candidates(df, max_bucket=8)
+    plan = _plan(q)
+    assert "Join" not in plan  # no join of any kind
+    assert "Window" in plan  # the bounded (count, min) tagging pass
+    assert "ObjectHashAggregate" in plan  # bounded collect_list path
+    # the collect_list aggregation reuses the window's partitioning (no
+    # exchange of its own); the initial plan prints the window subtree
+    # once per union branch (cold + hot) — identical subtrees that
+    # exchange reuse collapses at runtime — so at most those two appear
+    assert plan.count("Exchange hashpartitioning(bucket") <= 2, plan

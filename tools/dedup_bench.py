@@ -163,8 +163,12 @@ def main() -> None:
     ap.add_argument("--e2e-compare", action="store_true",
                     help="time the FULL LSH→verify e2e universal vs oph "
                          "in one JVM, alternating rounds, at "
-                         "--docs/--words; asserts seed recall for both")
+                         "--docs/--words; reports seed recall for both "
+                         "in the JSON (no assertion)")
     args = ap.parse_args()
+    if args.retries < 1:
+        ap.error("--retries must be >= 1 (the linearity loop body must "
+                 "run at least once)")
 
     spark = (
         SparkSession.builder.master(f"local[{args.cpus}]")
@@ -313,6 +317,18 @@ def main() -> None:
             "n_total": n_total, "cpus": args.cpus,
             "num_hashes": args.num_hashes, "bands": args.bands,
             "exploded_rows": args.bands * n_total,
+            # AQE can coalesce post-shuffle partitions and blunt the
+            # 32-vs-128 lever being compared; record the adaptive settings
+            # so readers can interpret the numbers (r5 ADVICE)
+            "aqe": {
+                k: spark.conf.get(k, None)
+                for k in (
+                    "spark.sql.adaptive.enabled",
+                    "spark.sql.adaptive.coalescePartitions.enabled",
+                    "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+                    "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+                )
+            },
             "results": [
                 {"shuffle_partitions": p, "e2e_s": round(best[p], 1),
                  "docs_per_sec": round(n_total / best[p], 1),

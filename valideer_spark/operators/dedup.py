@@ -218,7 +218,7 @@ def jaccard_verify_candidates(
     n: int = 3,
     threshold_num: int = 1,
     threshold_den: int = 2,
-    prune: bool = True,
+    prune="auto",
 ) -> DataFrame:
     """Exact-Jaccard verification of a candidate-pair table (a_id, b_id)
     — the 100 TB-scale path: candidate generation via
@@ -228,19 +228,29 @@ def jaccard_verify_candidates(
     Cost is O(|candidates| * avg shingle count): no self-join, no
     quadratic bucket risk. Output matches :func:`ngram_jaccard_pairs`.
 
-    ``prune=True`` (default) left-semi-joins the shingle frame down to
-    ids the candidate table actually touches before the two pair joins:
-    the heavy array-row sort/shuffle feeding each pair join shrinks to
-    the touched fraction, for the price of two cheap id-only shuffles
-    (the touched-id distinct + the semi-join of id-hash rows). Measured
-    same-JVM alternating at 1.1M docs/local[32] (``tools/dedup_bench.py
-    --verify-compare``, BENCH.md round 5): 1.26x at 18% candidate
-    coverage (17.3s vs 21.9s) and 1.02x — i.e. no pessimization — at
-    100% coverage (22.8s vs 23.2s), so the prune is on by default; the
-    pre-registered rule was "default only if >=1.0x at BOTH 0.1 and 1.0
-    coverage". Output is identical either way (pytest-asserted),
-    including candidates whose ids carry no shingles.
+    ``prune`` left-semi-joins the shingle frame down to ids the candidate
+    table actually touches before the two pair joins: the heavy array-row
+    sort/shuffle feeding each pair join shrinks to the touched fraction,
+    for the price of two cheap id-only shuffles (the touched-id distinct
+    + the semi-join of id-hash rows). The catch (round 6, confirming the
+    round-5 advisor): the prune references the candidates plan a THIRD
+    time (touched-id distinct, plus once per pair join), so with an
+    UNPERSISTED candidates input the whole LSH candidate stage re-executes
+    per reference — measured same-JVM at 1.1M docs / sparse coverage,
+    local[32]: prune=True 95s vs prune=False 28s (3.4x PESSIMIZATION; the
+    executed plan carries 6 copies of the candidate aggregation subtree —
+    exchange reuse does not collapse them). With a PERSISTED candidates
+    table the round-5 numbers stand: 1.26x win at 18% coverage, 1.02x at
+    100%. Hence ``prune="auto"`` (default): enabled iff ``candidates``
+    is itself a cached DataFrame; pass ``True``/``False`` to override.
+    Output is identical either way (pytest-asserted), including
+    candidates whose ids carry no shingles.
     """
+    if prune == "auto":
+        try:
+            prune = candidates.is_cached
+        except Exception:
+            prune = False
     sh = shingle_hash_frame(df, text_col, id_col, n).filter(F.size("sh") > 0)
     cand = candidates.select("a_id", "b_id")
     if prune:
@@ -618,47 +628,79 @@ def minhash_lsh_candidates(
         ]
     )
     buckets = sigs.select("id", F.explode(band_cols).alias("bucket"))
-    # _ids is a REAL column (referenced by several array lambdas below —
-    # no CSE across array-lambda boundaries, see shingle_hash_frame);
-    # sorted ascending so element 1 is the star representative and every
-    # expanded pair already satisfies a_id <= b_id.
-    grouped = buckets.groupBy("bucket").agg(
-        F.array_sort(F.collect_list("id")).alias("_ids")
-    )
-    ids = F.col("_ids")
-    m = F.size(ids)
-    # all-pairs: element i with every later element (slice clamps at the
-    # array end, so the over-long length bound is safe)
-    all_pairs = F.flatten(
-        F.transform(
-            ids,
-            lambda x, i: F.transform(
-                F.slice(ids, i + F.lit(2), m),
-                lambda y: F.struct(x.alias("a_id"), y.alias("b_id")),
-            ),
+
+    def expand_all_pairs(grouped: DataFrame) -> DataFrame:
+        # _ids is a REAL column (referenced by several array lambdas —
+        # no CSE across array-lambda boundaries, see shingle_hash_frame);
+        # sorted ascending so every expanded pair satisfies a_id <= b_id.
+        # all-pairs: element i with every later element (slice clamps at
+        # the array end, so the over-long length bound is safe)
+        ids = F.col("_ids")
+        m = F.size(ids)
+        all_pairs = F.flatten(
+            F.transform(
+                ids,
+                lambda x, i: F.transform(
+                    F.slice(ids, i + F.lit(2), m),
+                    lambda y: F.struct(x.alias("a_id"), y.alias("b_id")),
+                ),
+            )
         )
-    )
-    if max_bucket is not None:
-        # star linking for over-cap buckets: min id (element 1) pairs
-        # with each other member — m-1 edges. CaseWhen evaluates only
-        # the taken branch, so wide buckets never expand all-pairs.
-        star = F.transform(
-            F.slice(ids, F.lit(2), m),
-            lambda y: F.struct(
-                F.element_at(ids, 1).alias("a_id"), y.alias("b_id")
-            ),
+        return grouped.select(F.explode(all_pairs).alias("_p")).select(
+            F.col("_p.a_id").alias("a_id"), F.col("_p.b_id").alias("b_id")
         )
-        pairs_arr = F.when(m <= F.lit(max_bucket), all_pairs).otherwise(star)
+
+    if max_bucket is None:
+        grouped = buckets.groupBy("bucket").agg(
+            F.array_sort(F.collect_list("id")).alias("_ids")
+        )
+        pairs = expand_all_pairs(grouped)
     else:
-        pairs_arr = all_pairs
-    pairs = (
-        grouped.select(F.explode(pairs_arr).alias("_p"))
-        .select(F.col("_p.a_id").alias("a_id"), F.col("_p.b_id").alias("b_id"))
-        # drop degenerate self-pairs from equal ids in one bucket (only
-        # possible via a cross-band band-key hash collision on one doc);
-        # the old join's strict a.id < b.id excluded the same rows
-        .filter(F.col("a_id") != F.col("b_id"))
-    )
+        # Bounded skew guard (round 6). The round-5 form collected EVERY
+        # bucket's ids into one aggregation row and only then CASE-switched
+        # wide buckets to star edges — pair EXPANSION was capped, but the
+        # collect_list row itself was not: a degenerate mega-cluster
+        # (10^7-10^8 identical docs; empty pages and boilerplate reach that
+        # at web scale) builds a 40-800 MB single aggregation row per band
+        # before the cap applies. Now a whole-partition window over
+        # ``bucket`` tags every raw (id, bucket) row with the bucket's
+        # (count, min id) — ONE exchange, same key as before; WindowExec
+        # buffers one bucket group at a time in a SPILLABLE row buffer, so
+        # task memory stays flat no matter how degenerate the cluster —
+        # and the rows route by size:
+        #   * under-cap rows keep the collect_list + in-row expansion path
+        #     (reusing the window's partitioning — no second exchange),
+        #     where the aggregation row is <= max_bucket ids by
+        #     construction;
+        #   * over-cap rows NEVER aggregate — star edges (bucket min id,
+        #     member id) are emitted row-wise and flow straight into the
+        #     final pair-count aggregation.
+        # Signatures are still computed exactly once. Pair SETS are
+        # identical to the round-5 form: its star branch emitted
+        # (element 1 = min id, each later element) from the sorted array,
+        # which is exactly (min_id, id) per raw row with the a_id != b_id
+        # filter dropping the representative's own row.
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("bucket")
+        tagged = buckets.select(
+            "id",
+            "bucket",
+            F.count(F.lit(1)).over(w).alias("_m"),
+            F.min("id").over(w).alias("_min_id"),
+        )
+        cold = tagged.filter(F.col("_m") <= max_bucket).select("id", "bucket")
+        grouped = cold.groupBy("bucket").agg(
+            F.array_sort(F.collect_list("id")).alias("_ids")
+        )
+        hot_pairs = tagged.filter(F.col("_m") > max_bucket).select(
+            F.col("_min_id").alias("a_id"), F.col("id").alias("b_id")
+        )
+        pairs = expand_all_pairs(grouped).unionAll(hot_pairs)
+    # drop degenerate self-pairs from equal ids in one bucket (only
+    # possible via a cross-band band-key hash collision on one doc);
+    # the old join's strict a.id < b.id excluded the same rows
+    pairs = pairs.filter(F.col("a_id") != F.col("b_id"))
     return pairs.groupBy("a_id", "b_id").agg(
         F.count(F.lit(1)).alias("n_bands_hit")
     )
