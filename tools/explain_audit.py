@@ -68,7 +68,9 @@ def main() -> None:
         ("Referential anti-join (BroadcastHashJoin LeftAnti)",
          orphan_keys(li, "l_partkey", part.filter(F.col("p_partkey") % 7 != 0),
                      "p_partkey")),
-        ("Salted uniqueness (two-phase aggregation)",
+        ("Uniqueness (single-phase hash agg — COUNT partial-aggregates"
+         " map-side, so the salted two-phase plan was removed in round 6;"
+         " salt args route here too)",
          duplicate_keys(docs, "doc_id", salt=8)),
         ("n-gram Jaccard with shingle DF cap (bounded self-join buckets: the"
          " dfreq HAVING filter precedes the pair join, so no bucket exceeds"
@@ -101,10 +103,11 @@ def main() -> None:
     # SAME key as the self-join (exchange reused), wide buckets demoted
     # to star linking, narrow buckets keep exact all-pairs semantics
     sections.append(
-        ("Skew-guarded MinHash LSH candidates (max_bucket: bucket-stats agg"
-         " shares the join's hash key; hot buckets emit k-1 star edges"
-         " instead of k(k-1)/2 pairs — per-task join input bounded by"
-         " construction)",
+        ("Skew-guarded MinHash LSH candidates (round-6 bounded form:"
+         " whole-partition window tags rows with bucket count/min in a"
+         " spillable buffer; under-cap rows keep the bounded collect_list"
+         " path, over-cap rows emit star edges row-wise — no aggregation"
+         " row ever exceeds max_bucket ids)",
          minhash_lsh_candidates(documents, max_bucket=50))
     )
 
